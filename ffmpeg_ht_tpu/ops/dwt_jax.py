@@ -1,0 +1,188 @@
+"""Inverse DWT on TPU (JAX/XLA), bit-exact vs ops/dwt.py.
+
+TPU-first formulation: each lifting sweep is a batched elementwise op over
+whole line sets (rows, then columns via transpose) — pure VPU work that XLA
+fuses; geometry (level sizes, parities) is static at trace time so the whole
+multi-level transform unrolls into one fused program per (shape, levels)
+key. Semantics parity: jpeg2000dwt.c:309-537 via ops/dwt.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ffmpeg_ht_tpu.ops.dwt import (DWT53, DWT97, DWT97_INT, I_LFTG_ALPHA_PRIME,
+                                   I_LFTG_BETA, I_LFTG_DELTA, I_LFTG_GAMMA,
+                                   I_LFTG_K, I_LFTG_X, I_PRESHIFT, dwt_levels)
+
+F32 = jnp.float32
+_PAD = 8
+
+_F_DELTA = np.float32(0.443506852043971)
+_F_GAMMA = np.float32(0.882911075530934)
+_F_BETA = np.float32(0.052980118572961)
+_F_ALPHA = np.float32(1.586134342059924)
+_F_K = np.float32(1.230174104914001)
+_F_X = np.float32(0.812893066115961)
+
+
+def _interleave(rows: jnp.ndarray, lh: int, mh: int) -> jnp.ndarray:
+    """L/H halves -> interleaved padded lines (see ops/dwt._interleave)."""
+    n = rows.shape[0]
+    nL = len(range(mh, lh, 2))
+    nH = len(range(1 - mh, lh, 2))
+    out = jnp.zeros((n, lh + 2 * _PAD + 2), dtype=rows.dtype)
+    out = out.at[:, _PAD + 2 * mh:_PAD + 2 * mh + 2 * nL:2].set(rows[:, :nL])
+    out = out.at[:, _PAD + 1:_PAD + 1 + 2 * nH:2].set(rows[:, nL:nL + nH])
+    return out
+
+
+def _extend(p: jnp.ndarray, i0: int, i1: int, reach: int) -> jnp.ndarray:
+    b = _PAD
+    if reach == 2:
+        p = p.at[:, b + i0 - 1].set(p[:, b + i0 + 1])
+        p = p.at[:, b + i1].set(p[:, b + i1 - 2])
+        p = p.at[:, b + i0 - 2].set(p[:, b + i0 + 2])
+        p = p.at[:, b + i1 + 1].set(p[:, b + i1 - 3])
+    else:
+        for i in range(1, 5):
+            p = p.at[:, b + i0 - i].set(p[:, b + i0 + i])
+            p = p.at[:, b + i1 + i - 1].set(p[:, b + i1 - i - 1])
+    return p
+
+
+def _sl(p: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
+    return jax.lax.slice_in_dim(p, _PAD + lo, _PAD + hi, 2, axis=1)
+
+
+def _upd(p: jnp.ndarray, lo: int, hi: int, delta: jnp.ndarray, op) -> jnp.ndarray:
+    cur = _sl(p, lo, hi)
+    return p.at[:, _PAD + lo:_PAD + hi:2].set(op(cur, delta))
+
+
+def _sr53(p: jnp.ndarray, i0: int, i1: int) -> jnp.ndarray:
+    if i1 <= i0 + 1:
+        if i0 == 1:
+            p = p.at[:, _PAD + 1].set(p[:, _PAD + 1] >> 1)
+        return p
+    p = _extend(p, i0, i1, 2)
+    a, b = i0 >> 1, (i1 >> 1) + 1
+    d = (_sl(p, 2 * a - 1, 2 * b - 1) + _sl(p, 2 * a + 1, 2 * b + 1) + 2) >> 2
+    p = _upd(p, 2 * a, 2 * b, d, lambda c, x: c - x)
+    a, b = i0 >> 1, i1 >> 1
+    d = (_sl(p, 2 * a, 2 * b) + _sl(p, 2 * a + 2, 2 * b + 2)) >> 1
+    p = _upd(p, 2 * a + 1, 2 * b + 1, d, lambda c, x: c + x)
+    return p
+
+
+def _q16j(coef: int, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    s = x.astype(jnp.int64) + y.astype(jnp.int64)
+    return ((coef * s + (1 << 15)) >> 16).astype(jnp.int32)
+
+
+def _sr97i(p: jnp.ndarray, i0: int, i1: int) -> jnp.ndarray:
+    if i1 <= i0 + 1:
+        if i0 == 1:
+            v = ((p[:, _PAD + 1].astype(jnp.int64) * I_LFTG_K + (1 << 16)) >> 17)
+            p = p.at[:, _PAD + 1].set(v.astype(jnp.int32))
+        else:
+            v = ((p[:, _PAD + 0].astype(jnp.int64) * I_LFTG_X + (1 << 15)) >> 16)
+            p = p.at[:, _PAD + 0].set(v.astype(jnp.int32))
+        return p
+    p = _extend(p, i0, i1, 4)
+    a, b = (i0 >> 1) - 1, (i1 >> 1) + 2
+    d = _q16j(I_LFTG_DELTA, _sl(p, 2 * a - 1, 2 * b - 1), _sl(p, 2 * a + 1, 2 * b + 1))
+    p = _upd(p, 2 * a, 2 * b, d, lambda c, x: c - x)
+    a, b = (i0 >> 1) - 1, (i1 >> 1) + 1
+    d = _q16j(I_LFTG_GAMMA, _sl(p, 2 * a, 2 * b), _sl(p, 2 * a + 2, 2 * b + 2))
+    p = _upd(p, 2 * a + 1, 2 * b + 1, d, lambda c, x: c - x)
+    a, b = i0 >> 1, (i1 >> 1) + 1
+    d = _q16j(I_LFTG_BETA, _sl(p, 2 * a - 1, 2 * b - 1), _sl(p, 2 * a + 1, 2 * b + 1))
+    p = _upd(p, 2 * a, 2 * b, d, lambda c, x: c + x)
+    a, b = i0 >> 1, i1 >> 1
+    s = (_sl(p, 2 * a, 2 * b).astype(jnp.int64)
+         + _sl(p, 2 * a + 2, 2 * b + 2).astype(jnp.int64))
+    d = s.astype(jnp.int32) + ((I_LFTG_ALPHA_PRIME * s + (1 << 15)) >> 16).astype(jnp.int32)
+    p = _upd(p, 2 * a + 1, 2 * b + 1, d, lambda c, x: c + x)
+    return p
+
+
+def _sr97f(p: jnp.ndarray, i0: int, i1: int) -> jnp.ndarray:
+    if i1 <= i0 + 1:
+        if i0 == 1:
+            p = p.at[:, _PAD + 1].set(p[:, _PAD + 1] * (_F_K / np.float32(2)))
+        else:
+            p = p.at[:, _PAD + 0].set(p[:, _PAD + 0] * _F_X)
+        return p
+    p = _extend(p, i0, i1, 4)
+    a, b = (i0 >> 1) - 1, (i1 >> 1) + 2
+    d = _F_DELTA * (_sl(p, 2 * a - 1, 2 * b - 1) + _sl(p, 2 * a + 1, 2 * b + 1))
+    p = _upd(p, 2 * a, 2 * b, d, lambda c, x: c - x)
+    a, b = (i0 >> 1) - 1, (i1 >> 1) + 1
+    d = _F_GAMMA * (_sl(p, 2 * a, 2 * b) + _sl(p, 2 * a + 2, 2 * b + 2))
+    p = _upd(p, 2 * a + 1, 2 * b + 1, d, lambda c, x: c - x)
+    a, b = i0 >> 1, (i1 >> 1) + 1
+    d = _F_BETA * (_sl(p, 2 * a - 1, 2 * b - 1) + _sl(p, 2 * a + 1, 2 * b + 1))
+    p = _upd(p, 2 * a, 2 * b, d, lambda c, x: c + x)
+    a, b = i0 >> 1, i1 >> 1
+    d = _F_ALPHA * (_sl(p, 2 * a, 2 * b) + _sl(p, 2 * a + 2, 2 * b + 2))
+    p = _upd(p, 2 * a + 1, 2 * b + 1, d, lambda c, x: c + x)
+    return p
+
+
+_SR = {DWT53: _sr53, DWT97: _sr97f, DWT97_INT: _sr97i}
+
+
+def _dwt_decode_traced(data: jnp.ndarray, border, ndeclevels: int,
+                       dwt_type: int) -> jnp.ndarray:
+    if dwt_type == DWT97_INT and not jax.config.jax_enable_x64:
+        # the Q16 lifting products need > 32 bits; the bitexact path is a
+        # conformance path, not the perf path (which uses 5/3 or 9/7 float)
+        raise RuntimeError("DWT97_INT on device requires jax_enable_x64")
+    if ndeclevels == 0:
+        return data
+    linelen, mod = dwt_levels(border, ndeclevels)
+    sr = _SR[dwt_type]
+
+    for lev in range(ndeclevels):
+        lh, lv = linelen[lev][0], linelen[lev][1]
+        mh, mv = mod[lev][0], mod[lev][1]
+        if lh <= 0 or lv <= 0:
+            continue
+        rows = jax.lax.slice(data, (0, 0), (lv, lh))
+        p = _interleave(rows, lh, mh)
+        p = sr(p, mh, mh + lh)
+        rows = jax.lax.slice(p, (0, _PAD + mh), (lv, _PAD + mh + lh))
+
+        cols = rows.T
+        p = _interleave(cols, lv, mv)
+        p = sr(p, mv, mv + lv)
+        cols = jax.lax.slice(p, (0, _PAD + mv), (lh, _PAD + mv + lv))
+        data = jax.lax.dynamic_update_slice(data, cols.T, (0, 0))
+
+    if dwt_type == DWT97_INT:
+        h = linelen[ndeclevels - 1][1]
+        w = linelen[ndeclevels - 1][0]
+        v = jax.lax.slice(data, (0, 0), (h, w)).astype(jnp.int64)
+        v = ((v + ((1 << I_PRESHIFT) >> 1)) >> I_PRESHIFT).astype(jnp.int32)
+        data = jax.lax.dynamic_update_slice(data, v, (0, 0))
+    return data
+
+
+@functools.partial(jax.jit, static_argnames=("border", "ndeclevels", "dwt_type"))
+def dwt_decode_jax(data: jnp.ndarray, border, ndeclevels: int,
+                   dwt_type: int) -> jnp.ndarray:
+    """Jitted inverse DWT. `border` is a hashable ((x0,x1),(y0,y1)) tuple."""
+    b = [[border[0][0], border[0][1]], [border[1][0], border[1][1]]]
+    return _dwt_decode_traced(data, b, ndeclevels, dwt_type)
+
+
+def dwt53_inverse(plane: jnp.ndarray, ndeclevels: int) -> jnp.ndarray:
+    """Convenience wrapper: origin-aligned plane, 5/3 inverse."""
+    h, w = plane.shape
+    b = [[0, w], [0, h]]
+    return _dwt_decode_traced(plane, b, ndeclevels, DWT53)

@@ -1,0 +1,61 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Device-tier tests validate sharding/jit on CPU; the real TPU is exercised by
+bench.py and the driver's compile checks.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import subprocess
+
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+FFMPEG = "/root/repo/third_party/ffmpeg-build/ffmpeg"
+
+
+def have_ffmpeg() -> bool:
+    return os.path.exists(FFMPEG)
+
+
+@pytest.fixture(scope="session")
+def ffmpeg():
+    if not have_ffmpeg():
+        pytest.skip("reference ffmpeg not built")
+    return FFMPEG
+
+
+@pytest.fixture(scope="session")
+def tmp_media(tmp_path_factory):
+    return tmp_path_factory.mktemp("media")
+
+
+def ffmpeg_encode(ffmpeg_bin, raw: bytes, pix_fmt: str, size: str, out: str,
+                  *args) -> None:
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".raw", delete=False) as f:
+        f.write(raw)
+        src = f.name
+    cmd = [ffmpeg_bin, "-y", "-loglevel", "error", "-f", "rawvideo",
+           "-pix_fmt", pix_fmt, "-s", size, "-i", src,
+           "-c:v", "jpeg2000", *args, "-f", "image2", "-update", "1", out]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.unlink(src)
+
+
+def ffmpeg_decode_raw(ffmpeg_bin, path: str, *args) -> bytes:
+    """Decode with the reference decoder to raw frame bytes."""
+    cmd = [ffmpeg_bin, "-loglevel", "error", *args, "-i", path,
+           "-f", "rawvideo", "-"]
+    r = subprocess.run(cmd, check=True, capture_output=True)
+    return r.stdout
