@@ -125,6 +125,10 @@ def _get_cox(g: ByteReader, c: CodingStyle, hdr: MainHeader) -> None:
 
     c.cblk_style = g.u8()
     c.transform = g.u8()
+    if c.transform > 1:
+        # spec allows 0 (9/7) or 1 (5/3) only; the reference rejects other
+        # values in ff_jpeg2000_dwt_init (jpeg2000dwt.c:543-546)
+        raise InvalidData(f"DWT transform type {c.transform} invalid")
     if hdr.bitexact and c.transform == mk.DWT97:
         c.transform = mk.DWT97_INT
 
@@ -472,6 +476,10 @@ def parse_codestream(data: bytes, bitexact: bool = False,
         raise InvalidData("SOC marker not present")
 
     _read_main_headers(g, hdr)
+    if not hdr.siz.components:
+        raise InvalidData("no SIZ / no components in codestream")
+    if not hdr.tiles or not any(th.tile_parts for th in hdr.tiles):
+        raise InvalidData("no tile-part data in codestream")
     return hdr
 
 

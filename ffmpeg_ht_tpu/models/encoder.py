@@ -1,0 +1,458 @@
+"""JPEG 2000 (T.800) encoder — capability parity with the reference encoder.
+
+Pipeline parity: encode_frame/encode_tile (/root/reference/libavcodec/
+j2kenc.c:1405-1531, 1531-1667): DC level shift -> forward DWT (5/3 or
+9/7-int) -> MQ tier-1 encode with NMSEDEC distortion -> rate control
+(lambda truncation or layer-rate search) -> tier-2 packet emission ->
+marker/JP2 wrapping. Codestreams decode bit-exactly with both this
+package's decoder and the reference `ffmpeg` decoder.
+
+Geometry is shared with the decoder (codestream/geometry.py), so the
+encoder emits exactly the grid the decoder reconstructs.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from ffmpeg_ht_tpu.codestream import markers as mk
+from ffmpeg_ht_tpu.codestream.geometry import Tile, ceildiv, init_tile
+from ffmpeg_ht_tpu.codestream.structures import (CodingStyle, ComponentInfo,
+                                                 MainHeader, QuantStyle, SIZ,
+                                                 TileHeader)
+from ffmpeg_ht_tpu.codestream.t2_enc import encode_packets
+from ffmpeg_ht_tpu.ops import dwt as dwtmod
+from ffmpeg_ht_tpu.ops import t1_enc
+from ffmpeg_ht_tpu.ops.t1_enc import NMSEDEC_FRACBITS
+
+WMSEDEC_SHIFT = 13
+LAMBDA_SCALE = 100000000 << (WMSEDEC_SHIFT - 13)
+QP2LAMBDA = 118  # FF_QP2LAMBDA: CLI -q:v maps to quality*118
+
+# [dwt_type][bandpos][lev] * 10000 — MSE gain of synthesis basis vectors
+# (j2kenc.c:97-108; index 0 = 9/7, index 1 = 5/3)
+DWT_NORMS = (
+    ((10000, 19650, 41770, 84030, 169000, 338400, 676900, 1353000, 2706000, 5409000),
+     (20220, 39890, 83550, 170400, 342700, 686300, 1373000, 2746000, 5490000),
+     (20220, 39890, 83550, 170400, 342700, 686300, 1373000, 2746000, 5490000),
+     (20800, 38650, 83070, 171800, 347100, 695900, 1393000, 2786000, 5572000)),
+    ((10000, 15000, 27500, 53750, 106800, 213400, 426700, 853300, 1707000, 3413000),
+     (10380, 15920, 29190, 57030, 113300, 226400, 452500, 904800, 1809000),
+     (10380, 15920, 29190, 57030, 113300, 226400, 452500, 904800, 1809000),
+     (7186, 9218, 15860, 30430, 60190, 120100, 240000, 479700, 959300)),
+)
+
+_PROG = {"lrcp": mk.PGOD_LRCP, "rlcp": mk.PGOD_RLCP, "rpcl": mk.PGOD_RPCL,
+         "pcrl": mk.PGOD_PCRL, "cprl": mk.PGOD_CPRL}
+
+
+@dataclass
+class EncoderConfig:
+    """Runtime options (AVOption parity, j2kenc.c:1809-1828)."""
+    jp2: bool = False            # "format" jp2 vs j2k
+    tile_width: int = 256
+    tile_height: int = 256
+    pred: int = 1                # 1 = 5/3 reversible, 0 = 9/7-int
+    sop: bool = False
+    eph: bool = False
+    prog: str = "lrcp"
+    layer_rates: Optional[List[int]] = None
+    quality: int = 0             # avctx->global_quality analog (lambda)
+    nreslevels: int = 7
+    log2_cblk_width: int = 4
+    log2_cblk_height: int = 4
+
+
+def _init_quantization(codsty: CodingStyle, qntsty: QuantStyle,
+                       cbps: int) -> None:
+    """init_quantization (j2kenc.c:553-578)."""
+    gbandno = 0
+    for reslevelno in range(codsty.nreslevels):
+        lev = codsty.nreslevels - reslevelno - 1
+        nbands = 3 if reslevelno else 1
+        for bandno in range(nbands):
+            mant = 0
+            if codsty.transform == mk.DWT97_INT:
+                bandpos = bandno + (1 if reslevelno > 0 else 0)
+                ss = 81920000 // DWT_NORMS[0][bandpos][lev]
+                log = ss.bit_length() - 1
+                if 11 - log < 0:
+                    mant = (ss >> (log - 11)) & 0x7FF
+                else:
+                    mant = (ss << (11 - log)) & 0x7FF
+                expn = cbps - log + 13
+            else:
+                expn = ((bandno & 2) >> 1) + (1 if reslevelno > 0 else 0) + cbps
+            qntsty.expn[gbandno] = expn
+            qntsty.mant[gbandno] = mant
+            gbandno += 1
+
+
+def _be16(v: int) -> bytes:
+    return v.to_bytes(2, "big")
+
+
+def _be32(v: int) -> bytes:
+    return v.to_bytes(4, "big")
+
+
+def _put_siz(out: bytearray, siz: SIZ) -> None:
+    out.extend(_be16(mk.SIZ) + _be16(38 + 3 * siz.ncomponents))
+    out.extend(_be16(0))                      # Rsiz
+    out.extend(_be32(siz.width) + _be32(siz.height))
+    out.extend(_be32(0) + _be32(0))           # X0Siz/Y0Siz
+    out.extend(_be32(siz.tile_width) + _be32(siz.tile_height))
+    out.extend(_be32(0) + _be32(0))           # XT0/YT0
+    out.extend(_be16(siz.ncomponents))
+    for c in siz.components:
+        out.append(c.depth - 1)
+        out.append(c.dx)
+        out.append(c.dy)
+
+
+def _put_cod(out: bytearray, cfg: EncoderConfig, codsty: CodingStyle,
+             nlayers: int) -> None:
+    scod = 0
+    if cfg.sop:
+        scod |= mk.CSTY_SOP
+    if cfg.eph:
+        scod |= mk.CSTY_EPH
+    out.extend(_be16(mk.COD) + _be16(12))
+    out.append(scod)
+    out.append(_PROG[cfg.prog])
+    out.extend(_be16(nlayers))
+    out.append(0)  # MCT unspecified
+    out.append(codsty.nreslevels - 1)
+    out.append(codsty.log2_cblk_width - 2)
+    out.append(codsty.log2_cblk_height - 2)
+    out.append(0)  # cblk style
+    out.append(1 if codsty.transform == mk.DWT53 else 0)
+
+
+def _put_qcd(out: bytearray, codsty: CodingStyle, qntsty: QuantStyle) -> None:
+    n = codsty.nreslevels * 3 - 2
+    if qntsty.quantsty == mk.QSTY_NONE:
+        size = 4 + 3 * (codsty.nreslevels - 1)
+    else:
+        size = 5 + 6 * (codsty.nreslevels - 1)
+    out.extend(_be16(mk.QCD) + _be16(size))
+    out.append((qntsty.nguardbits << 5) | qntsty.quantsty)
+    if qntsty.quantsty == mk.QSTY_NONE:
+        for i in range(n):
+            out.append(qntsty.expn[i] << 3)
+    else:
+        for i in range(n):
+            out.extend(_be16((qntsty.expn[i] << 11) | qntsty.mant[i]))
+
+
+def _jp2_wrap(codestream: bytes, siz: SIZ, colr: int) -> bytes:
+    """Minimal JP2 wrapping (j2kenc.c:1557-1631)."""
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return _be32(8 + len(payload)) + tag + payload
+
+    sig = _be32(12) + b"jP\x20\x20" + _be32(0x0D0A870A)
+    ftyp = box(b"ftyp", b"jp2\x20" + _be32(0) + b"jp2\x20")
+    ihdr = box(b"ihdr", _be32(siz.height) + _be32(siz.width)
+               + _be16(siz.ncomponents)
+               + bytes([siz.components[0].depth, 7, 0, 0]))
+    colr_box = box(b"colr", bytes([1, 0, 0]) + _be32(colr))
+    jp2h = box(b"jp2h", ihdr + colr_box)
+    jp2c = box(b"jp2c", codestream)
+    return sig + ftyp + jp2h + jp2c
+
+
+def _makelayer(tile: Tile, layno: int, thresh: float, final: bool) -> None:
+    """makelayer (j2kenc.c:1168-1266): assign passes to a quality layer."""
+    for comp in tile.comp:
+        for rlevel in comp.reslevel:
+            for band in rlevel.band:
+                for prec in band.prec:
+                    for cblk in prec.cblk:
+                        e = cblk.enc
+                        if layno == 0:
+                            e.ninclpasses = 0
+                        n = e.ninclpasses
+                        if thresh < 0:
+                            n = e.npasses
+                        else:
+                            for passno in range(e.ninclpasses, e.npasses):
+                                p = e.passes[passno]
+                                if n == 0:
+                                    dr, dd = p.rate, p.disto
+                                else:
+                                    dr = p.rate - e.passes[n - 1].rate
+                                    dd = p.disto - e.passes[n - 1].disto
+                                if not dr:
+                                    if dd != 0:
+                                        n = passno + 1
+                                    continue
+                                if thresh - (dd / dr) < 2.2e-16:
+                                    n = passno + 1
+                        layer = e.layers[layno]
+                        layer["npasses"] = n - e.ninclpasses
+                        layer["cum_passes"] = n
+                        if layer["npasses"] == 0:
+                            layer["disto"] = 0
+                            layer["data_len"] = 0
+                            continue
+                        if e.ninclpasses == 0:
+                            layer["data_len"] = e.passes[n - 1].rate
+                            layer["data_start"] = 0
+                            layer["disto"] = e.passes[n - 1].disto
+                        else:
+                            layer["data_len"] = (e.passes[n - 1].rate
+                                                 - e.passes[e.ninclpasses - 1].rate)
+                            layer["data_start"] = e.passes[e.ninclpasses - 1].rate
+                            layer["disto"] = (e.passes[n - 1].disto
+                                              - e.passes[e.ninclpasses - 1].disto)
+                        if final:
+                            e.ninclpasses = n
+
+
+def _makelayers(tile: Tile, cfg: EncoderConfig, nlayers: int,
+                tile_layer_rates: List[float], chroma_shift) -> None:
+    """Rate-targeted lambda bisection per layer (j2kenc.c:1268-1319)."""
+    lo_min, hi_max = math.inf, 0.0
+    for comp in tile.comp:
+        for rlevel in comp.reslevel:
+            for band in rlevel.band:
+                for prec in band.prec:
+                    for cblk in prec.cblk:
+                        e = cblk.enc
+                        for passno, p in enumerate(e.passes):
+                            if passno == 0:
+                                dr, dd = p.rate, p.disto
+                            else:
+                                dr = p.rate - e.passes[passno - 1].rate
+                                dd = p.disto - e.passes[passno - 1].disto
+                            if dr <= 0:
+                                continue
+                            slope = dd / dr
+                            lo_min = min(lo_min, slope)
+                            hi_max = max(hi_max, slope)
+
+    prog = _PROG[cfg.prog]
+    for layno in range(nlayers):
+        if not tile_layer_rates[layno]:
+            good = -1.0
+        else:
+            lo, hi = lo_min, hi_max
+            stable = 0.0
+            thresh = lo
+            for _ in range(128):
+                thresh = (lo + hi) / 2
+                _makelayer(tile, layno, thresh, False)
+                trial = bytearray()
+                try:
+                    encode_packets(trial, tile, layno + 1, prog,
+                                   cfg.sop, cfg.eph, chroma_shift)
+                    fits = len(trial) <= math.ceil(tile_layer_rates[layno])
+                except Exception:
+                    fits = False
+                if not fits:
+                    lo = thresh
+                    continue
+                hi = thresh
+                stable = thresh
+            good = stable if stable != 0.0 else thresh
+        _makelayer(tile, layno, good, True)
+
+
+def _truncpasses(tile: Tile, codsty: CodingStyle, lambda_: int) -> None:
+    """Single-layer truncation by lambda (getcut/truncpasses,
+    j2kenc.c:1352-1403)."""
+    for comp in tile.comp:
+        for reslevelno, rlevel in enumerate(comp.reslevel):
+            lev = codsty.nreslevels - 1 - reslevelno
+            for bandno, band in enumerate(rlevel.band):
+                bandpos = bandno + (1 if reslevelno > 0 else 0)
+                norm = DWT_NORMS[1 if codsty.transform == mk.DWT53 else 0]
+                dwt_norm = (norm[bandpos][lev] * band.i_stepsize) >> 15
+                denom = dwt_norm * dwt_norm
+                lambda_prime = ((lambda_ << WMSEDEC_SHIFT) + denom // 2) // denom \
+                    if denom else 0
+                for prec in band.prec:
+                    for cblk in prec.cblk:
+                        e = cblk.enc
+                        res = 0
+                        for passno, p in enumerate(e.passes):
+                            dr = p.rate - (e.passes[res - 1].rate if res else 0)
+                            dd = p.disto - (e.passes[res - 1].disto if res else 0)
+                            if dd >= dr * lambda_prime:
+                                res = passno + 1
+                        e.ninclpasses = res
+                        e.layers[0] = {
+                            "data_start": 0, "cum_passes": res, "npasses": res,
+                            "data_len": e.passes[res - 1].rate if res else 0,
+                            "disto": e.passes[res - 1].disto if res else 0,
+                        }
+
+
+def _encode_tile_components(tile: Tile, planes: List[np.ndarray],
+                            codsty: CodingStyle, nlayers: int) -> None:
+    """DWT + tier-1 over one tile (encode_tile, j2kenc.c:1405-1500)."""
+    for compno, comp in enumerate(tile.comp):
+        cw = comp.coord[0][1] - comp.coord[0][0]
+        ch = comp.coord[1][1] - comp.coord[1][0]
+        plane = planes[compno].astype(np.int32).reshape(ch, cw)
+        border = comp.coord
+        plane = dwtmod.dwt_encode(plane, border, codsty.nreslevels - 1,
+                                  codsty.transform)
+
+        for reslevelno, rlevel in enumerate(comp.reslevel):
+            for bandno, band in enumerate(rlevel.band):
+                if (band.coord[0][0] >= band.coord[0][1]
+                        or band.coord[1][0] >= band.coord[1][1]):
+                    for prec in band.prec:
+                        for cblk in prec.cblk:
+                            cblk.enc = t1_enc.EncCblk(
+                                layers=[dict(npasses=0, cum_passes=0,
+                                             data_start=0, data_len=0,
+                                             disto=0) for _ in range(nlayers)])
+                    continue
+                bandpos = bandno + (1 if reslevelno > 0 else 0)
+                if codsty.transform == mk.DWT97_INT:
+                    scale = (16384 * 65536) // band.i_stepsize
+                for prec in band.prec:
+                    for cblk in prec.cblk:
+                        x0 = cblk.coord[0][0] - band.coord[0][0]
+                        y0 = cblk.coord[1][0] - band.coord[1][0]
+                        # cblk.coord embeds the subband interleave shift
+                        # (geometry.py:216-226) => plane coords directly
+                        w = cblk.width
+                        h = cblk.height
+                        if w <= 0 or h <= 0:
+                            cblk.enc = t1_enc.EncCblk(
+                                layers=[dict(npasses=0, cum_passes=0,
+                                             data_start=0, data_len=0,
+                                             disto=0) for _ in range(nlayers)])
+                            continue
+                        blk = plane[y0:y0 + h, x0:x0 + w].astype(np.int64)
+                        if codsty.transform == mk.DWT53:
+                            t1d = blk << NMSEDEC_FRACBITS
+                        else:
+                            t1d = (blk * scale) >> (15 - NMSEDEC_FRACBITS)
+                        e = t1_enc.encode_cblk(t1d, w, h, bandpos)
+                        e.layers = [dict(npasses=0, cum_passes=0,
+                                         data_start=0, data_len=0, disto=0)
+                                    for _ in range(nlayers)]
+                        cblk.enc = e
+
+
+def encode_frame_t800(img: Union[np.ndarray, Sequence[np.ndarray]],
+                      chroma_shift=(0, 0), depth: Optional[int] = None,
+                      colr: Optional[int] = None,
+                      **opts) -> bytes:
+    """Encode one frame to a J2K/JP2 byte string.
+
+    `img`: (H, W) gray, (H, W, C) interleaved, or a list of planar
+    components (YUV with `chroma_shift`). Returns the full codestream.
+    """
+    cfg = EncoderConfig(**opts)
+
+    if isinstance(img, np.ndarray):
+        if img.ndim == 2:
+            planes_in = [img]
+            interleaved = False
+        else:
+            planes_in = [img[:, :, i] for i in range(img.shape[2])]
+            interleaved = True
+        height, width = img.shape[:2]
+    else:
+        planes_in = list(img)
+        interleaved = False
+        height, width = planes_in[0].shape
+
+    ncomp = len(planes_in)
+    cbps = depth or int(planes_in[0].dtype.itemsize * 8)
+    if cbps == 8 and planes_in[0].dtype == np.uint16:
+        cbps = 16
+
+    codsty = CodingStyle(
+        csty=(mk.CSTY_SOP if cfg.sop else 0) | (mk.CSTY_EPH if cfg.eph else 0),
+        prog_order=_PROG[cfg.prog],
+        nreslevels=cfg.nreslevels, nreslevels2decode=cfg.nreslevels,
+        log2_cblk_width=cfg.log2_cblk_width,
+        log2_cblk_height=cfg.log2_cblk_height,
+        transform=mk.DWT53 if cfg.pred else mk.DWT97_INT,
+        init=True)
+    qntsty = QuantStyle(
+        nguardbits=1,
+        quantsty=mk.QSTY_NONE if cfg.pred else mk.QSTY_SE)
+    _init_quantization(codsty, qntsty, cbps)
+
+    layer_rates = cfg.layer_rates or []
+    nlayers = max(1, len(layer_rates))
+    codsty.nlayers = nlayers
+
+    siz = SIZ(width=width, height=height,
+              tile_width=cfg.tile_width, tile_height=cfg.tile_height,
+              components=[
+                  ComponentInfo(depth=cbps, sgnd=False,
+                                dx=(1 << chroma_shift[0]) if (i + 1) & 2 else 1,
+                                dy=(1 << chroma_shift[1]) if (i + 1) & 2 else 1)
+                  for i in range(ncomp)])
+
+    hdr = MainHeader(siz=siz)
+    ntiles = siz.num_x_tiles * siz.num_y_tiles
+    for _ in range(ntiles):
+        hdr.tiles.append(TileHeader(
+            codsty=[codsty.copy() for _ in range(ncomp)],
+            qntsty=[qntsty.copy() for _ in range(ncomp)],
+            roi_shift=[0] * ncomp))
+
+    out = bytearray()
+    out.extend(_be16(mk.SOC))
+    _put_siz(out, siz)
+    _put_cod(out, cfg, codsty, nlayers)
+    _put_qcd(out, codsty, qntsty)
+
+    for tileno in range(ntiles):
+        tile = init_tile(hdr, tileno)
+        # DC level shift + tile crop (copy_frame_8/16, j2kenc.c:508-551)
+        tplanes = []
+        for compno, comp in enumerate(tile.comp):
+            x0, x1 = comp.coord[0]
+            y0, y1 = comp.coord[1]
+            p = planes_in[compno][y0:y1, x0:x1].astype(np.int32)
+            tplanes.append(p - (1 << (cbps - 1)))
+        _encode_tile_components(tile, tplanes, codsty, nlayers)
+
+        if layer_rates:
+            # bytes per layer for this tile (compute_rates, j2kenc.c:437-460)
+            tlr = [0.0] * nlayers
+            for compno, comp in enumerate(tile.comp):
+                tw = comp.coord[0][1] - comp.coord[0][0]
+                th_ = comp.coord[1][1] - comp.coord[1][0]
+                scale = ((1 << chroma_shift[0]) if (compno + 1) & 2 else 1) \
+                    * ((1 << chroma_shift[1]) if (compno + 1) & 2 else 1)
+                for layno in range(nlayers):
+                    if layer_rates[layno] > 0:
+                        tlr[layno] += (tw * th_ * ncomp * cbps
+                                       / (layer_rates[layno] * 8 * scale))
+            _makelayers(tile, cfg, nlayers, tlr, chroma_shift)
+        else:
+            _truncpasses(tile, codsty, cfg.quality * QP2LAMBDA * LAMBDA_SCALE)
+
+        body = bytearray()
+        encode_packets(body, tile, nlayers, _PROG[cfg.prog],
+                       cfg.sop, cfg.eph, chroma_shift)
+        psot = 12 + 2 + len(body)  # SOT seg (12) + SOD marker + body
+        out.extend(_be16(mk.SOT) + _be16(10) + _be16(tileno))
+        out.extend(_be32(psot))
+        out.append(0)  # TPsot
+        out.append(1)  # TNsot
+        out.extend(_be16(mk.SOD))
+        out.extend(body)
+
+    out.extend(_be16(mk.EOC))
+
+    if cfg.jp2:
+        if colr is None:
+            colr = 17 if ncomp == 1 else (16 if interleaved else 18)
+        return _jp2_wrap(bytes(out), siz, colr)
+    return bytes(out)

@@ -59,3 +59,34 @@ def ffmpeg_decode_raw(ffmpeg_bin, path: str, *args) -> bytes:
            "-f", "rawvideo", "-"]
     r = subprocess.run(cmd, check=True, capture_output=True)
     return r.stdout
+
+
+def ffmpeg_encode_raw(ffmpeg_bin, raw: bytes, pix_fmt: str, size: str,
+                      *args) -> bytes:
+    """Encode raw frame bytes with the reference encoder, return the file."""
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".raw", delete=False) as f:
+        f.write(raw)
+        src = f.name
+    out = src + ".j2k"
+    cmd = [ffmpeg_bin, "-y", "-loglevel", "error", "-f", "rawvideo",
+           "-pix_fmt", pix_fmt, "-s", size, "-i", src,
+           "-c:v", "jpeg2000", *args, "-f", "image2", "-update", "1", out]
+    subprocess.run(cmd, check=True, capture_output=True)
+    data = open(out, "rb").read()
+    os.unlink(src)
+    os.unlink(out)
+    return data
+
+
+def ffmpeg_decode_raw_bytes(ffmpeg_bin, data: bytes, suffix: str,
+                            *args) -> bytes:
+    """Decode an in-memory codestream with the reference decoder."""
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        return ffmpeg_decode_raw(ffmpeg_bin, path, *args)
+    finally:
+        os.unlink(path)

@@ -1,0 +1,52 @@
+"""Malformed-codestream rejection: typed errors, never crashes.
+
+Parity with the reference's defensive AVERROR_INVALIDDATA paths
+(jpeg2000dec.c:208-211, 1187-1191, 2856-2858; SURVEY.md section 5).
+"""
+
+import numpy as np
+import pytest
+
+from ffmpeg_ht_tpu.models.encoder import encode_frame_t800
+from ffmpeg_ht_tpu.models.host_decoder import decode_frame
+from ffmpeg_ht_tpu.utils.errors import J2KError
+
+
+def _sample() -> bytes:
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    return encode_frame_t800(img, pred=1)
+
+
+@pytest.mark.parametrize("bad", [
+    b"",
+    b"\x00",
+    b"garbage" * 16,
+    b"\xff\x4f",               # bare SOC
+    b"\xff\x4f\xff\x51\x00",   # truncated SIZ
+])
+def test_garbage_rejected(bad):
+    with pytest.raises(J2KError):
+        decode_frame(bad)
+
+
+def test_truncations_never_crash():
+    data = _sample()
+    for cut in range(0, len(data), 7):
+        try:
+            decode_frame(data[:cut])
+        except J2KError:
+            pass  # typed rejection is fine; crashes are not
+
+
+def test_bitflips_never_crash():
+    data = bytearray(_sample())
+    rng = np.random.default_rng(0)
+    for _ in range(64):
+        pos = int(rng.integers(0, len(data)))
+        bit = 1 << int(rng.integers(0, 8))
+        mutated = bytearray(data)
+        mutated[pos] ^= bit
+        try:
+            decode_frame(bytes(mutated))
+        except J2KError:
+            pass
