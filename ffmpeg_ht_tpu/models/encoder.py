@@ -102,7 +102,7 @@ def _be32(v: int) -> bytes:
 
 def _put_siz(out: bytearray, siz: SIZ) -> None:
     out.extend(_be16(mk.SIZ) + _be16(38 + 3 * siz.ncomponents))
-    out.extend(_be16(0))                      # Rsiz
+    out.extend(_be16(siz.rsiz))               # Rsiz (0x4000 for Part 15)
     out.extend(_be32(siz.width) + _be32(siz.height))
     out.extend(_be32(0) + _be32(0))           # X0Siz/Y0Siz
     out.extend(_be32(siz.tile_width) + _be32(siz.tile_height))
@@ -341,6 +341,199 @@ def _encode_tile_components(tile: Tile, planes: List[np.ndarray],
                                          data_start=0, data_len=0, disto=0)
                                     for _ in range(nlayers)]
                         cblk.enc = e
+
+
+def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
+                       chroma_shift=(0, 0), depth: Optional[int] = None,
+                       **opts) -> bytes:
+    """Encode one frame as a reversible HTJ2K (T.814) codestream.
+
+    Capability beyond the reference (ffmpeg has no HT encoder, only the HT
+    decoder); output is validated against `ffmpeg -i` in the test suite.
+    Structure: SIZ (Rsiz 0x4000) + CAP/Ccap15 (HTONLY, HTREV) + COD with
+    SPcod cblk-style 0x40 + QCD, one cleanup-pass HT segment per codeblock
+    (ops/ht_enc.py), standard T2 packet emission.
+    """
+    from ffmpeg_ht_tpu.ops import ht_enc
+
+    cfg = EncoderConfig(**opts)
+    if not cfg.pred:
+        raise ValueError("HT encoder currently emits reversible (5/3) only")
+
+    if isinstance(img, np.ndarray):
+        planes_in = [img] if img.ndim == 2 else \
+            [img[:, :, i] for i in range(img.shape[2])]
+        height, width = img.shape[:2]
+    else:
+        planes_in = list(img)
+        height, width = planes_in[0].shape
+
+    ncomp = len(planes_in)
+    cbps = depth or int(planes_in[0].dtype.itemsize * 8)
+
+    codsty = CodingStyle(
+        csty=(mk.CSTY_SOP if cfg.sop else 0) | (mk.CSTY_EPH if cfg.eph else 0),
+        prog_order=_PROG[cfg.prog],
+        nreslevels=cfg.nreslevels, nreslevels2decode=cfg.nreslevels,
+        log2_cblk_width=cfg.log2_cblk_width,
+        log2_cblk_height=cfg.log2_cblk_height,
+        cblk_style=mk.CTSY_HTJ2K_F,
+        transform=mk.DWT53, init=True)
+    qntsty = QuantStyle(nguardbits=2, quantsty=mk.QSTY_NONE)
+    _init_quantization(codsty, qntsty, cbps)
+
+    siz = SIZ(rsiz=0x4000, width=width, height=height,
+              tile_width=cfg.tile_width, tile_height=cfg.tile_height,
+              components=[
+                  ComponentInfo(depth=cbps, sgnd=False,
+                                dx=(1 << chroma_shift[0]) if (i + 1) & 2 else 1,
+                                dy=(1 << chroma_shift[1]) if (i + 1) & 2 else 1)
+                  for i in range(ncomp)])
+
+    hdr = MainHeader(siz=siz)
+    ntiles = siz.num_x_tiles * siz.num_y_tiles
+    for _ in range(ntiles):
+        hdr.tiles.append(TileHeader(
+            codsty=[codsty.copy() for _ in range(ncomp)],
+            qntsty=[qntsty.copy() for _ in range(ncomp)],
+            roi_shift=[0] * ncomp))
+
+    # First pass: DWT every tile-component and size the guard bits so the
+    # HT exponent bound U <= M_b holds for the worst coefficient: the
+    # cleanup codes v = 2(|c|-1)+s whose bit length must not exceed
+    # M_b = expn + nguardbits - 1 (decoder check jpeg2000htdec.c:715).
+    tiles = []
+    dwt_planes = []
+    need_ngb = 2
+    for tileno in range(ntiles):
+        tile = init_tile(hdr, tileno)
+        tiles.append(tile)
+        planes = []
+        for compno, comp in enumerate(tile.comp):
+            x0, x1 = comp.coord[0]
+            y0, y1 = comp.coord[1]
+            p = planes_in[compno][y0:y1, x0:x1].astype(np.int32) \
+                - (1 << (cbps - 1))
+            cw, ch = x1 - x0, y1 - y0
+            plane = dwtmod.dwt_encode(p.reshape(ch, cw), comp.coord,
+                                      codsty.nreslevels - 1, codsty.transform)
+            planes.append(plane)
+            subbandno = 0
+            for reslevelno, rlevel in enumerate(comp.reslevel):
+                for bandno, band in enumerate(rlevel.band):
+                    expn = qntsty.expn[subbandno]
+                    subbandno += 1
+                    if (band.coord[0][0] >= band.coord[0][1]
+                            or band.coord[1][0] >= band.coord[1][1]):
+                        continue
+                    maxc = 0
+                    for pr in band.prec:
+                        for cblk in pr.cblk:
+                            if cblk.width <= 0 or cblk.height <= 0:
+                                continue
+                            cx = cblk.coord[0][0] - band.coord[0][0]
+                            cy = cblk.coord[1][0] - band.coord[1][0]
+                            blk = plane[cy:cy + cblk.height,
+                                        cx:cx + cblk.width]
+                            if blk.size:
+                                maxc = max(maxc, int(np.abs(blk).max()))
+                    if maxc > 1:
+                        e_max = (2 * maxc - 1).bit_length()
+                        need_ngb = max(need_ngb, e_max - expn + 1)
+        dwt_planes.append(planes)
+    if need_ngb > 7:
+        raise ValueError(f"coefficients need {need_ngb} guard bits")
+    qntsty.nguardbits = need_ngb
+    for th in hdr.tiles:
+        for q in th.qntsty:
+            q.nguardbits = need_ngb
+
+    out = bytearray()
+    out.extend(_be16(mk.SOC))
+    _put_siz(out, siz)
+    # CAP marker: Pcap bit for Ccap15 (T.814; parsed at parser._get_cap)
+    max_magb = max(qntsty.expn[i] for i in range(codsty.nreslevels * 3 - 2)) \
+        + qntsty.nguardbits - 1
+    b_field = max(0, max_magb - 8)
+    if b_field > 19:
+        raise ValueError(f"B={max_magb} not encodable in Ccap15")
+    ccap15 = b_field  # HTONLY, single HT set, RGNFREE, HOMOGENEOUS, HTREV
+    out.extend(_be16(mk.CAP) + _be16(2 + 4 + 2))  # Lcap
+    out.extend(_be32(1 << 17))  # Pcap: Ccap15 present
+    out.extend(_be16(ccap15))
+    _put_cod_ht(out, cfg, codsty, 1)
+    _put_qcd(out, codsty, qntsty)
+
+    for tileno in range(ntiles):
+        tile = tiles[tileno]
+        for compno, comp in enumerate(tile.comp):
+            plane = dwt_planes[tileno][compno]
+            subbandno = 0
+            for reslevelno, rlevel in enumerate(comp.reslevel):
+                for bandno, band in enumerate(rlevel.band):
+                    magb = (qntsty.expn[subbandno] + qntsty.nguardbits - 1)
+                    subbandno += 1
+                    zbp = magb - 1
+                    for prec in band.prec:
+                        for cblk in prec.cblk:
+                            w, h = cblk.width, cblk.height
+                            e = t1_enc.EncCblk(layers=[dict(
+                                npasses=0, cum_passes=0, data_start=0,
+                                data_len=0, disto=0)])
+                            cblk.enc = e
+                            if w <= 0 or h <= 0:
+                                continue
+                            x0 = cblk.coord[0][0] - band.coord[0][0]
+                            y0 = cblk.coord[1][0] - band.coord[1][0]
+                            blk = plane[y0:y0 + h, x0:x0 + w].astype(np.int64)
+                            if not blk.any():
+                                continue
+                            mag = np.abs(blk)
+                            sign = (blk < 0).astype(np.int64)
+                            dcup, lcup = ht_enc.encode_cleanup(mag, sign, zbp)
+                            e.nonzerobits = magb - zbp  # zerobits tag = zbp
+                            e.npasses = 1
+                            e.ninclpasses = 1
+                            e.data = dcup
+                            e.passes = [t1_enc.Pass(rate=lcup, disto=0,
+                                                    flushed=b"")]
+                            e.layers = [dict(npasses=1, cum_passes=1,
+                                             data_start=0, data_len=lcup,
+                                             disto=0)]
+
+        body = bytearray()
+        encode_packets(body, tile, 1, _PROG[cfg.prog],
+                       cfg.sop, cfg.eph, chroma_shift)
+        psot = 12 + 2 + len(body)
+        out.extend(_be16(mk.SOT) + _be16(10) + _be16(tileno))
+        out.extend(_be32(psot))
+        out.append(0)
+        out.append(1)
+        out.extend(_be16(mk.SOD))
+        out.extend(body)
+
+    out.extend(_be16(mk.EOC))
+    return bytes(out)
+
+
+def _put_cod_ht(out: bytearray, cfg: EncoderConfig, codsty: CodingStyle,
+                nlayers: int) -> None:
+    """COD with HT codeblock style (SPcod byte 5 = 0x40)."""
+    scod = 0
+    if cfg.sop:
+        scod |= mk.CSTY_SOP
+    if cfg.eph:
+        scod |= mk.CSTY_EPH
+    out.extend(_be16(mk.COD) + _be16(12))
+    out.append(scod)
+    out.append(_PROG[cfg.prog])
+    out.extend(_be16(nlayers))
+    out.append(0)
+    out.append(codsty.nreslevels - 1)
+    out.append(codsty.log2_cblk_width - 2)
+    out.append(codsty.log2_cblk_height - 2)
+    out.append(mk.CTSY_HTJ2K_F)
+    out.append(1)  # 5/3 reversible
 
 
 def encode_frame_t800(img: Union[np.ndarray, Sequence[np.ndarray]],

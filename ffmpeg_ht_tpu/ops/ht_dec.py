@@ -283,14 +283,17 @@ def _recover_mag_sgn(magsgn: _FwdBits, q: int, m4: list, emb_1: int,
 
 
 def decode_cleanup(data: bytes, lcup: int, pcup: int, pLSB: int, width: int,
-                   height: int, zbp: int):
+                   height: int, maxbp: int):
     """HT cleanup segment (T.814 7.3; jpeg2000htdec.c:548-1014).
+
+    `maxbp` bounds the U exponents: S_blk + 1, i.e. (S_blk - 1) + 2 with the
+    reference's zbp mutation at jpeg2000htdec.c:1263 folded in (maxbp =
+    cblk->zbp + 2 at :605 where cblk->zbp was reset to S_blk - 1).
 
     Returns (sample_buf, block_states), both (height+4, width+4) padded
     arrays: sample_buf u32 sign-magnitude, block_states u8 (SIGMA at bit 0,
     offset by +1,+1 like the reference).
     """
-    maxbp = zbp + 2
     if maxbp >= 32:
         raise InvalidData("too many bitplanes")
 
@@ -357,14 +360,16 @@ def decode_cleanup(data: bytes, lcup: int, pcup: int, pLSB: int, width: int,
         r1, sp1, ek1, e11 = _decode_sig_emb(mel, vlc, 0, context)
         for i in range(4):
             sigma[4 * q1 + i] = (sp1 >> i) & 1
-        context = (sigma[4 * q1] | sigma[4 * q1 + 1]) \
-            + (sigma[4 * q1 + 2] << 1) + (sigma[4 * q1 + 3] << 2)
+        # int() casts: sigma is uint8 and context << 7 in _decode_ctx_vlc
+        # must not wrap (jpeg2000htdec.c uses plain int context)
+        context = int(sigma[4 * q1] | sigma[4 * q1 + 1]) \
+            + (int(sigma[4 * q1 + 2]) << 1) + (int(sigma[4 * q1 + 3]) << 2)
 
         r2, sp2, ek2, e12 = _decode_sig_emb(mel, vlc, 0, context)
         for i in range(4):
             sigma[4 * q2 + i] = (sp2 >> i) & 1
-        context = (sigma[4 * q2] | sigma[4 * q2 + 1]) \
-            + (sigma[4 * q2 + 2] << 1) + (sigma[4 * q2 + 3] << 2)
+        context = int(sigma[4 * q2] | sigma[4 * q2 + 1]) \
+            + (int(sigma[4 * q2 + 2]) << 1) + (int(sigma[4 * q2 + 3]) << 2)
 
         u = quad_u_pair_exact([r1, r2], True)
         U1, U2 = 1 + u[0], 1 + u[1]
@@ -632,7 +637,7 @@ def decode_htj2k(data: bytes, npasses: int, zbp: int, pass_lengths,
     buf[lcup - 2] |= 0x0F
 
     sample_buf, block_states, stride = decode_cleanup(
-        bytes(buf), lcup, pcup, pLSB, width, height, zbp)
+        bytes(buf), lcup, pcup, pLSB, width, height, s_blk + 1)
 
     dref = bytes(buf[lcup:])
     if z_blk > 1:

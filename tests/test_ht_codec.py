@@ -1,0 +1,159 @@
+"""HTJ2K (T.814) codec tests.
+
+The reference has no HT encoder, so HT test vectors come from our own
+encoder (ops/ht_enc.py + models.encoder.encode_frame_htj2k); every stream
+is cross-checked against the reference `ffmpeg` HT *decoder* — a
+two-implementation agreement test for the whole HT path (CAP marker, T2
+HT length machinery, MEL/VLC/MagSgn cleanup coding, dequant alignment).
+"""
+
+import numpy as np
+import pytest
+
+from ffmpeg_ht_tpu.models.encoder import encode_frame_htj2k
+from ffmpeg_ht_tpu.models.host_decoder import decode_frame
+from ffmpeg_ht_tpu.ops.ht_dec import decode_htj2k
+from ffmpeg_ht_tpu.ops.ht_enc import (MagSgnPacker, MELPacker, VLCPacker,
+                                      encode_cleanup)
+from ffmpeg_ht_tpu.ops.ht_dec import _FwdBits, _MelState, _RevBits
+
+from conftest import ffmpeg_decode_raw_bytes
+
+RNG = np.random.default_rng(1234)
+
+
+# ---------------------------------------------------------------------------
+# packer <-> reader property tests (the analog of checkasm kernel tests)
+# ---------------------------------------------------------------------------
+
+def test_magsgn_packer_roundtrip():
+    for _ in range(100):
+        fields = [(int(RNG.integers(0, 1 << n)), n)
+                  for n in RNG.integers(1, 25, size=30)]
+        p = MagSgnPacker()
+        for v, n in fields:
+            p.put(v, n)
+        data = p.finish()
+        r = _FwdBits(data, len(data))
+        r.refill()
+        for v, n in fields:
+            assert r.get(n) == v
+
+
+def test_mel_packer_roundtrip():
+    for _ in range(100):
+        syms = list(RNG.integers(0, 2, size=60))
+        p = MELPacker()
+        for s in syms:
+            p.sym(int(s))
+        data = p.finish()
+        m = _MelState(data + b"\xff" * 8, 0, len(data) + 8)
+        for s in syms:
+            assert m.sym() == s
+
+
+def test_vlc_packer_roundtrip():
+    for _ in range(200):
+        bits = list(RNG.integers(0, 2, size=int(RNG.integers(1, 300))))
+        p = VLCPacker()
+        for b in bits:
+            p.bit(int(b))
+        vlcb = p.finish()
+        scup = len(vlcb) + 1
+        buf = bytearray(vlcb)
+        buf[-1] |= scup & 0xF
+        buf.append(scup >> 4)
+        lcup = len(buf)
+        buf[lcup - 1] = 0xFF
+        buf[lcup - 2] |= 0x0F
+        r = _RevBits(bytes(buf), lcup - 2, buf[lcup - 2])
+        r.refill()
+        r.drop(4)
+        for b in bits:
+            assert r.get(1) == b
+
+
+# ---------------------------------------------------------------------------
+# block-level roundtrip vs the scalar oracle decoder
+# ---------------------------------------------------------------------------
+
+def test_ht_block_roundtrip_random():
+    for _ in range(60):
+        h = int(RNG.integers(1, 65))
+        w = int(RNG.integers(1, 65))
+        if w * h > 4096:
+            continue
+        magb = 8
+        mag = RNG.integers(0, 128, (h, w)).astype(np.int64)
+        mag = np.where(RNG.random((h, w)) < RNG.random(), 0, mag)
+        sign = RNG.integers(0, 2, (h, w)).astype(np.int64)
+        zbp = magb - 1
+        data, lcup = encode_cleanup(mag, sign, zbp)
+        out = decode_htj2k(data, 1, zbp, [lcup, 0], w, h, magb)
+        pLSB = 30 - zbp
+        exp = np.where(mag > 0,
+                       (mag << pLSB) | (1 << (pLSB - 1)) | (sign << 31), 0)
+        assert np.array_equal(out.astype(np.int64) & 0xFFFFFFFF,
+                              exp & 0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# frame-level: our decoder and the reference decoder, both lossless
+# ---------------------------------------------------------------------------
+
+def _frame_case(img, chroma_shift=(0, 0), raw=None, **opts):
+    data = encode_frame_htj2k(img, chroma_shift=chroma_shift, **opts)
+    if raw is None:
+        raw = img.tobytes() if img.dtype == np.uint8 \
+            else img.astype("<u2").tobytes()
+    ours = decode_frame(data, bitexact=True).tobytes()
+    assert ours == raw, "our decoder not lossless"
+    return data, raw
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (67, 53), (128, 128)])
+def test_ht_gray_lossless(ffmpeg, shape):
+    img = RNG.integers(0, 256, shape, dtype=np.uint8)
+    data, raw = _frame_case(img)
+    assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
+                                   "-flags", "+bitexact") == raw
+
+
+def test_ht_rgb_lossless(ffmpeg):
+    img = RNG.integers(0, 256, (48, 56, 3), dtype=np.uint8)
+    data, raw = _frame_case(img)
+    assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
+                                   "-flags", "+bitexact") == raw
+
+
+def test_ht_16bit_lossless(ffmpeg):
+    img = RNG.integers(0, 65536, (40, 40), dtype=np.uint16)
+    data, raw = _frame_case(img)
+    assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
+                                   "-flags", "+bitexact") == raw
+
+
+def test_ht_multitile_lossless(ffmpeg):
+    img = RNG.integers(0, 256, (300, 280), dtype=np.uint8)
+    data, raw = _frame_case(img)
+    assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
+                                   "-flags", "+bitexact") == raw
+
+
+def test_ht_yuv420_lossless(ffmpeg):
+    y = RNG.integers(0, 256, (48, 64), dtype=np.uint8)
+    u = RNG.integers(0, 256, (24, 32), dtype=np.uint8)
+    v = RNG.integers(0, 256, (24, 32), dtype=np.uint8)
+    raw = y.tobytes() + u.tobytes() + v.tobytes()
+    data = encode_frame_htj2k([y, u, v], chroma_shift=(1, 1))
+    assert decode_frame(data, bitexact=True).tobytes() == raw
+    assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
+                                   "-flags", "+bitexact") == raw
+
+
+def test_ht_extremes(ffmpeg):
+    for img in (np.zeros((64, 64), dtype=np.uint8),
+                np.full((64, 64), 255, dtype=np.uint8)):
+        data, raw = _frame_case(img)
+        assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
+                                       "-flags", "+bitexact") == raw
