@@ -1,9 +1,12 @@
 #!/usr/bin/env python3
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline: HTJ2K decode throughput in frames/sec/chip. Baseline target is
-60 fps for 4K 4:4:4 10-bit (BASELINE.json); vs_baseline = value / 60.
-Falls back to smaller configs while the pipeline is being built out.
+Headline: HTJ2K decode throughput in frames/sec/chip through the TPU
+pipeline (models/decoder.Decoder). Baseline target is 60 fps for 4K
+4:4:4 10-bit (BASELINE.json); vs_baseline = value / 60 scaled by the
+config actually run. While the pipeline is being built out the bench
+runs config 1 (512x512 8-bit grayscale lossless) and reports fps
+against the same 60 fps bar.
 """
 
 import json
@@ -14,46 +17,26 @@ import numpy as np
 
 
 def main() -> None:
-    # Current stage: host decode pipeline (device pipeline lands next).
-    # Bench config 1: 512x512 8-bit grayscale lossless, single tile/layer.
-    from ffmpeg_ht_tpu.models.host_decoder import decode_frame
-    from ffmpeg_ht_tpu.models.encoder import encode_frame_t800
+    from ffmpeg_ht_tpu.models.decoder import Decoder
+    from ffmpeg_ht_tpu.models.encoder import encode_frame_htj2k
 
     rng = np.random.default_rng(0)
+    # config 1: 512x512 8-bit grayscale lossless HTJ2K, single tile/layer
     img = rng.integers(0, 256, (512, 512), dtype=np.uint8)
-    try:
-        data = encode_frame_t800(img)
-    except Exception:
-        # encoder not available yet: synthesize via reference ffmpeg if present
-        import os
-        import subprocess
-        import tempfile
-        ff = "third_party/ffmpeg-build/ffmpeg"
-        if not os.path.exists(ff):
-            print(json.dumps({"metric": "decode_fps_512x512_gray", "value": 0.0,
-                              "unit": "frames/sec/chip", "vs_baseline": 0.0}))
-            return
-        with tempfile.NamedTemporaryFile(suffix=".raw") as f:
-            f.write(img.tobytes())
-            f.flush()
-            out = f.name + ".j2k"
-            subprocess.run([ff, "-y", "-loglevel", "error", "-f", "rawvideo",
-                            "-pix_fmt", "gray", "-s", "512x512", "-i", f.name,
-                            "-c:v", "jpeg2000", "-pred", "1", "-f", "image2",
-                            "-update", "1", out], check=True)
-            data = open(out, "rb").read()
-            os.unlink(out)
+    data = encode_frame_htj2k(img, tile_width=512, tile_height=512)
 
-    # warmup + measure
-    decode_frame(data, bitexact=True)
-    n = 3
+    dec = Decoder(bitexact=True)
+    out = dec.decode(data)          # compile + warmup
+    assert out.tobytes() == img.tobytes(), "bench decode not lossless"
+
+    n = 10
     t0 = time.perf_counter()
     for _ in range(n):
-        decode_frame(data, bitexact=True)
+        dec.decode(data)
     dt = (time.perf_counter() - t0) / n
     fps = 1.0 / dt
     print(json.dumps({
-        "metric": "decode_fps_512x512_gray_lossless",
+        "metric": "decode_fps_512x512_gray_lossless_tpu",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 60.0, 4),

@@ -1,0 +1,455 @@
+"""TPU decode pipeline — the flagship model.
+
+Host/device split per SURVEY.md §7: the byte-serial work (codestream parse,
+T2 packet headers, HT segment lengths) stays on host; everything after is
+one jitted device program per codestream *geometry*:
+
+  entropy (ops/ht_batch lockstep kernel, bucketed by codeblock shape)
+  -> dequant + scatter into a flat coefficient buffer
+  -> inverse DWT per tile-component (ops/dwt_jax)
+  -> inverse MCT (RCT) + DC shift/clip
+
+The geometry (tile grid, codeblock buckets, plane offsets) is static per
+(image parameters); jit caches one executable per geometry, so steady-state
+decode is host parse + one device launch. Codeblocks the device path does
+not support (legacy MQ, SigProp/MagRef refinement, ROI, 9/7) fall back to
+the host oracle decoder (models/host_decoder.py) transparently.
+
+Multi-frame throughput: `decode_batch` concatenates many same-geometry
+frames into the same buckets (lanes scale, one launch); multi-chip scaling
+shards the frame axis (see __graft_entry__.dryrun_multichip).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ffmpeg_ht_tpu.codestream import markers as mk
+from ffmpeg_ht_tpu.codestream.geometry import Tile, ceildiv, init_tile
+from ffmpeg_ht_tpu.codestream.parser import parse_codestream
+from ffmpeg_ht_tpu.codestream.t2 import decode_tile_packets
+from ffmpeg_ht_tpu.models import host_decoder
+from ffmpeg_ht_tpu.models import pixfmt as pf
+from ffmpeg_ht_tpu.models.host_decoder import DecodedFrame
+from ffmpeg_ht_tpu.utils.log import logger
+
+_LANE_PAD = 8          # lane count rounded up to a multiple of this
+_LMAX_QUANT = 64       # byte-row length rounded up to a multiple of this
+_HOST_AREA = 64        # codeblocks smaller than this decode on host (edge
+                       # slivers; keeps the per-geometry bucket count low)
+
+
+def _supported_on_device(hdr, tiles: List[Tile]) -> bool:
+    """Device path covers HTONLY cleanup-only 5/3 streams without ROI."""
+    for tile in tiles:
+        for compno, comp in enumerate(tile.comp):
+            codsty = tile.codsty[compno]
+            if codsty.transform != mk.DWT53:
+                return False
+            if comp.roi_shift:
+                return False
+            if not (codsty.cblk_style & mk.CTSY_HTJ2K_F):
+                return False
+            if (codsty.log2_cblk_width > 6 or codsty.log2_cblk_height > 6):
+                return False  # kernel raster capacity is 64x64
+            for rl in comp.reslevel:
+                for band in rl.band:
+                    for prec in band.prec:
+                        for cblk in prec.cblk:
+                            if cblk.npasses == 0:
+                                continue
+                            if not (cblk.modes & mk.CTSY_HTJ2K_F):
+                                return False
+                            num_rempass = cblk.npasses % 3
+                            num_plhd = (cblk.npasses - num_rempass
+                                        if num_rempass else cblk.npasses - 3)
+                            z_blk = cblk.npasses - num_plhd
+                            if z_blk != 1:
+                                return False  # SigProp/MagRef: host path
+    return True
+
+
+@dataclass
+class _Bucket:
+    w: int
+    h: int
+    rows: List[np.ndarray] = field(default_factory=list)
+    lcup: List[int] = field(default_factory=list)
+    pcup: List[int] = field(default_factory=list)
+    pLSB: List[int] = field(default_factory=list)
+    maxbp: List[int] = field(default_factory=list)
+    magb: List[int] = field(default_factory=list)
+    istep: List[int] = field(default_factory=list)
+    dest: List[int] = field(default_factory=list)    # flat index of (y0,x0)
+    stride: List[int] = field(default_factory=list)  # plane row stride
+
+
+@dataclass
+class _Geometry:
+    """Static decode plan for one codestream geometry."""
+    planes: List[Tuple[int, int, int]]   # (offset, h, w) per tile-comp
+    borders: Tuple                        # per tile-comp ((x0,x1),(y0,y1))
+    ndecs: Tuple                          # per tile-comp declevels
+    mct: Tuple                            # per tile bool
+    tile_comp_index: List[List[int]]      # tileno -> [plane indices]
+    cbps: int
+    total: int
+
+
+def _build_batch(hdr, tiles: List[Tile]):
+    """Walk the T2 result into shape buckets + a flat-plane geometry."""
+    planes = []
+    borders = []
+    ndecs = []
+    tile_comp_index = []
+    offset = 0
+    for tile in tiles:
+        idxs = []
+        for compno, comp in enumerate(tile.comp):
+            cw = comp.coord[0][1] - comp.coord[0][0]
+            ch = comp.coord[1][1] - comp.coord[1][0]
+            idxs.append(len(planes))
+            planes.append((offset, ch, cw))
+            borders.append(((comp.coord[0][0], comp.coord[0][1]),
+                            (comp.coord[1][0], comp.coord[1][1])))
+            ndecs.append(tile.codsty[compno].nreslevels2decode - 1)
+            offset += ch * cw
+        tile_comp_index.append(idxs)
+    total = offset
+
+    buckets: Dict[Tuple[int, int], _Bucket] = {}
+    prefill = np.zeros(total + 1, np.int32)
+    for tileno, tile in enumerate(tiles):
+        for compno, comp in enumerate(tile.comp):
+            qntsty = tile.qntsty[compno]
+            poff, _, pstride = (planes[tile_comp_index[tileno][compno]][0],
+                                0, planes[tile_comp_index[tileno][compno]][2])
+            subbandno = 0
+            for rl in comp.reslevel:
+                for bandno, band in enumerate(rl.band):
+                    magb = qntsty.expn[subbandno] + qntsty.nguardbits - 1
+                    subbandno += 1
+                    if (band.coord[0][0] >= band.coord[0][1]
+                            or band.coord[1][0] >= band.coord[1][1]):
+                        continue
+                    for prec in band.prec:
+                        for cblk in prec.cblk:
+                            w, h = cblk.width, cblk.height
+                            if w <= 0 or h <= 0 or cblk.npasses == 0:
+                                continue
+                            lcup = cblk.pass_lengths[0]
+                            if lcup < 2:
+                                continue
+                            x = cblk.coord[0][0] - band.coord[0][0]
+                            y = cblk.coord[1][0] - band.coord[1][0]
+                            dest = poff + y * pstride + x
+                            if w * h < _HOST_AREA:
+                                # tiny edge sliver: scalar host decode into
+                                # the prefill buffer
+                                from ffmpeg_ht_tpu.ops import dequant as dq
+                                from ffmpeg_ht_tpu.ops import ht_dec
+                                t1 = ht_dec.decode_htj2k(
+                                    bytes(cblk.data), cblk.npasses,
+                                    cblk.zbp, cblk.pass_lengths, w, h,
+                                    magb, 0, 0)
+                                blk = dq.dequant_int(t1, band.i_stepsize,
+                                                     magb)
+                                for yy in range(h):
+                                    s = dest + yy * pstride
+                                    prefill[s:s + w] = blk[yy]
+                                continue
+                            buf = bytearray(cblk.data[:lcup])
+                            if len(buf) < lcup:
+                                buf.extend(b"\x00" * (lcup - len(buf)))
+                            scup = ((buf[lcup - 1] << 4)
+                                    + (buf[lcup - 2] & 0x0F))
+                            if scup < 2 or scup > lcup or scup > 4079:
+                                continue  # host will reject
+                            buf[lcup - 1] = 0xFF
+                            buf[lcup - 2] |= 0x0F
+                            zbp = cblk.zbp
+                            key = (w, h)
+                            b = buckets.setdefault(key, _Bucket(w, h))
+                            b.rows.append(np.frombuffer(bytes(buf),
+                                                        np.uint8))
+                            b.lcup.append(lcup)
+                            b.pcup.append(lcup - scup)
+                            b.pLSB.append(30 - zbp)
+                            b.maxbp.append(zbp + 1)
+                            b.magb.append(magb)
+                            b.istep.append(band.i_stepsize)
+                            b.dest.append(dest)
+                            b.stride.append(pstride)
+
+    geom = _Geometry(planes=planes, borders=tuple(borders),
+                     ndecs=tuple(ndecs),
+                     mct=tuple(bool(t.codsty[0].mct) for t in tiles),
+                     tile_comp_index=tile_comp_index,
+                     cbps=hdr.siz.components[0].depth, total=total)
+    return geom, buckets, prefill
+
+
+def _pad(n, q):
+    return ((n + q - 1) // q) * q
+
+
+def _pow2(n: int, lo: int) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+def _bucket_arrays(b: _Bucket):
+    """Pack a bucket into padded device arrays.
+
+    Lane count and byte-row length are padded to powers of two so the
+    jitted entropy kernel's shape signature — and hence its compiled
+    executable — is reused across frames and geometries.
+    """
+    n = len(b.rows)
+    npad = _pow2(n, _LANE_PAD)
+    # two byte-row widths keep the kernel-executable count tiny
+    need = max(len(r) for r in b.rows) + 4
+    lmax = 2048 if need <= 2048 else _pow2(need, 16384)
+    data = np.zeros((npad, lmax), np.uint8)
+    for i, r in enumerate(b.rows):
+        data[i, :len(r)] = r
+
+    def vec(vals, fill):
+        a = np.full(npad, fill, np.int32)
+        a[:n] = vals
+        return a
+
+    return dict(
+        data=data,
+        lcup=vec(b.lcup, 2),
+        pcup=vec(b.pcup, 0),
+        pLSB=vec(b.pLSB, 2),
+        maxbp=vec(b.maxbp, 32),
+        magb=vec(b.magb, 8),
+        istep=vec(b.istep, 32768),
+        dest=vec(b.dest, -1),      # -1 -> trash slot
+        stride=vec(b.stride, 0),
+    ), n
+
+
+_CACHE_ENABLED = False
+
+
+def _enable_persistent_cache():
+    """Opt-in persistent XLA compilation cache (FFMPEG_HT_TPU_CACHE=dir).
+
+    Off by default: serializing these executables can be slower than
+    recompiling on some backends.
+    """
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    _CACHE_ENABLED = True
+    import os
+    cache_dir = os.environ.get("FFMPEG_HT_TPU_CACHE")
+    if not cache_dir:
+        return
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs
+        pass
+
+
+def _entropy_stage(shapes, bucket_args):
+    """Run the globally-cached entropy kernel per bucket.
+
+    decode_cleanup_bucket is itself jitted keyed on (input shapes, qw, qh),
+    so the expensive kernels compile once per codeblock shape and are
+    shared across every geometry/image that uses that shape.
+    """
+    from ffmpeg_ht_tpu.ops.ht_batch import decode_cleanup_bucket
+
+    mus, oks = [], []
+    for (qw, qh, w, h), args in zip(shapes, bucket_args):
+        mu, ok = decode_cleanup_bucket(
+            args["data"], args["lcup"], args["pcup"], args["pLSB"],
+            args["maxbp"], qw, qh)
+        mus.append(mu)
+        oks.append(ok)
+    return mus, oks
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
+    """Per-geometry device program: dequant + scatter + DWT + MCT.
+
+    Cheap to compile relative to the entropy kernels; takes the per-bucket
+    mu arrays produced by _entropy_stage.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ffmpeg_ht_tpu.ops.dwt_jax import _dwt_decode_traced
+
+    planes, borders, ndecs, mct_flags, tci, cbps, total = geom_key
+
+    def assemble(prefill, mus, bucket_args):
+        flat = prefill  # host-decoded slivers + one trailing trash slot
+
+        for (qw, qh, w, h), mu, args in zip(bucket_shapes, mus, bucket_args):
+            mu = mu[:, :h, :w]
+            # dequant (reversible path, jpeg2000dec.c:2119-2151):
+            # sign-magnitude -> two's complement, downshift 31 - M_b
+            val = mu.astype(jnp.uint32)
+            neg = (val >> 31) == 1
+            mag = (val & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            down = (31 - args["magb"])[:, None, None]
+            mag = mag >> down
+            coef = jnp.where(neg, -mag, mag)
+            istep = args["istep"][:, None, None]
+            coef = jnp.where(istep != 32768,
+                             (coef * istep) >> 16, coef)
+            # scatter into the flat buffer; dest<0 lanes go to the trash
+            dy = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+            dx = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+            base = args["dest"][:, None, None]
+            stride = args["stride"][:, None, None]
+            idx = base + dy * stride + dx
+            idx = jnp.where(base < 0, total, idx)
+            flat = flat.at[idx.ravel()].set(coef.ravel().astype(jnp.int32))
+
+        # per tile-component inverse DWT
+        outs = []
+        for (off, ph, pw), border, ndec in zip(planes, borders, ndecs):
+            plane = jax.lax.dynamic_slice(flat, (off,), (ph * pw,))
+            plane = plane.reshape(ph, pw)
+            if ndec > 0:
+                b = [[border[0][0], border[0][1]],
+                     [border[1][0], border[1][1]]]
+                plane = _dwt_decode_traced(plane, b, ndec, mk.DWT53)
+            outs.append(plane)
+
+        # inverse MCT (RCT, jpeg2000dsp.c:78-91) + DC shift/clip per tile
+        final = []
+        for tileno, idxs in enumerate(tci):
+            comps = [outs[i] for i in idxs]
+            if mct_flags[tileno] and len(comps) >= 3:
+                # inverse RCT in wraparound int32 (matches ops/mct.rct_int)
+                y0, y1, y2 = comps[0], comps[1], comps[2]
+                g = y0 - ((y2 + y1) >> 2)
+                r = g + y2
+                bl = g + y1
+                comps = [r, g, bl] + comps[3:]
+            shift = 1 << (cbps - 1)
+            comps = [jnp.clip(c + shift, 0, (1 << cbps) - 1) for c in comps]
+            final.extend(comps)
+        return final
+
+    return jax.jit(assemble)
+
+
+class Decoder:
+    """Jitted TPU decoder with host fallback.
+
+    decode(data) -> DecodedFrame. The first decode of a new geometry
+    compiles; subsequent frames of the same geometry reuse the executable.
+    """
+
+    def __init__(self, bitexact: bool = True, reduction_factor: int = 0):
+        self.bitexact = bitexact
+        self.reduction_factor = reduction_factor
+        _enable_persistent_cache()
+
+    def decode(self, data: bytes) -> DecodedFrame:
+        hdr = parse_codestream(data, bitexact=self.bitexact,
+                               reduction_factor=self.reduction_factor)
+        tiles = []
+        for tileno in range(len(hdr.tiles)):
+            tile = init_tile(hdr, tileno)
+            decode_tile_packets(hdr, tileno, tile)
+            tiles.append(tile)
+
+        if not _supported_on_device(hdr, tiles):
+            logger.debug("decoder: falling back to host path")
+            return host_decoder.decode_frame(
+                data, bitexact=self.bitexact,
+                reduction_factor=self.reduction_factor)
+
+        return self._device_decode(hdr, tiles)
+
+    def _device_decode(self, hdr, tiles) -> DecodedFrame:
+        import jax.numpy as jnp
+
+        geom, buckets, prefill = _build_batch(hdr, tiles)
+        keys = sorted(buckets.keys())
+        bucket_args = []
+        shapes = []
+        for key in keys:
+            b = buckets[key]
+            args, n = _bucket_arrays(b)
+            w, h = key
+            qw, qh = -(-w // 2), -(-h // 2)
+            shapes.append((qw, qh, w, h))
+            bucket_args.append({k: jnp.asarray(v) for k, v in args.items()})
+
+        geom_key = (tuple(geom.planes), geom.borders, geom.ndecs, geom.mct,
+                    tuple(tuple(i) for i in geom.tile_comp_index),
+                    geom.cbps, geom.total)
+        mus, oks = _entropy_stage(shapes, bucket_args)
+        fn = _compiled_assembly(tuple(shapes), geom_key)
+        outs = fn(jnp.asarray(prefill), mus, bucket_args)
+        outs = [np.asarray(o) for o in outs]
+
+        # assemble the frame (write_frame semantics, host side)
+        siz = hdr.siz
+        fmt = pf.negotiate(siz, hdr.colour_space, siz.rsiz)
+        precision = pf.output_precision(fmt, siz.precision)
+        dimx, dimy = host_decoder._frame_dims(hdr)
+        planes = pf.alloc_frame(fmt, dimx, dimy)
+        cdef = hdr.cdef if hdr.cdef else [-1] * 4
+        if any(c < 0 for c in cdef[:siz.ncomponents]):
+            cdef = [i + 1 for i in range(4)]
+            if siz.ncomponents % 2 == 0:
+                cdef[siz.ncomponents - 1] = 0
+
+        k = 0
+        for tileno, tile in enumerate(tiles):
+            comp_planes = []
+            for compno in range(len(tile.comp)):
+                comp_planes.append(outs[k].astype(np.int64))
+                k += 1
+            _write_frame_prescaled(hdr, tile, comp_planes, fmt, planes,
+                                   precision, cdef)
+        return DecodedFrame(fmt=fmt, width=dimx, height=dimy, planes=planes)
+
+
+def _write_frame_prescaled(hdr, tile, comp_planes, fmt, planes, precision,
+                           cdef):
+    """write_frame for device output (already DC-shifted and clipped)."""
+    siz = hdr.siz
+    for compno, comp in enumerate(tile.comp):
+        cbps = siz.components[compno].depth
+        cdx = siz.components[compno].dx
+        cdy = siz.components[compno].dy
+        vals = comp_planes[compno] << (precision - cbps)
+        x0 = comp.coord[0][0] - ceildiv(siz.x0, cdx)
+        y0 = comp.coord[1][0] - ceildiv(siz.y0, cdy)
+        w = comp.coord[0][1] - ceildiv(siz.x0, cdx)
+        h = comp.coord[1][1] - ceildiv(siz.y0, cdy)
+        if fmt.planar:
+            plane_idx = (cdef[compno] - 1) if cdef[compno] \
+                else fmt.nb_components - 1
+            planes[plane_idx][y0:h, x0:w] = vals
+        else:
+            nc = fmt.nb_components
+            planes[0][y0:h, x0 * nc + compno:w * nc:nc] = vals[:, :w - x0]
+
+
+def decode_frame_tpu(data: bytes, bitexact: bool = True,
+                     reduction_factor: int = 0) -> DecodedFrame:
+    """One-shot convenience wrapper around Decoder."""
+    return Decoder(bitexact=bitexact,
+                   reduction_factor=reduction_factor).decode(data)
