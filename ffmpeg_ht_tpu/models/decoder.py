@@ -380,6 +380,105 @@ class Decoder:
 
         return self._device_decode(hdr, tiles)
 
+    def decode_batch(self, streams) -> List[DecodedFrame]:
+        """Decode many same-geometry frames in one device launch.
+
+        The frame axis concatenates into the entropy kernel's lane axis
+        (SURVEY.md §2.2 'frame batching'): F frames of N codeblocks run as
+        one (F*N)-lane launch, saturating the VPU where a single frame's
+        lane count cannot.
+        """
+        import jax.numpy as jnp
+
+        parsed = []
+        for data in streams:
+            hdr = parse_codestream(data, bitexact=self.bitexact,
+                                   reduction_factor=self.reduction_factor)
+            tiles = []
+            for tileno in range(len(hdr.tiles)):
+                tile = init_tile(hdr, tileno)
+                decode_tile_packets(hdr, tileno, tile)
+                tiles.append(tile)
+            parsed.append((hdr, tiles, data))
+
+        if not all(_supported_on_device(h, t) for h, t, _ in parsed):
+            return [self.decode(d) for _, _, d in parsed]
+
+        geoms, bucket_maps, prefills = [], [], []
+        for hdr, tiles, _ in parsed:
+            g, b, p = _build_batch(hdr, tiles)
+            geoms.append(g)
+            bucket_maps.append(b)
+            prefills.append(p)
+
+        g0 = geoms[0]
+        base_key = (tuple(g0.planes), g0.borders, g0.ndecs, g0.mct,
+                    tuple(tuple(i) for i in g0.tile_comp_index),
+                    g0.cbps, g0.total)
+        for g in geoms[1:]:
+            k = (tuple(g.planes), g.borders, g.ndecs, g.mct,
+                 tuple(tuple(i) for i in g.tile_comp_index),
+                 g.cbps, g.total)
+            if k != base_key:
+                return [self.decode(d) for _, _, d in parsed]
+
+        F = len(parsed)
+        total = g0.total
+        # merge buckets: dest indices shift by f*total per frame
+        merged: Dict[Tuple[int, int], _Bucket] = {}
+        for f, bmap in enumerate(bucket_maps):
+            for key, b in bmap.items():
+                m = merged.setdefault(key, _Bucket(b.w, b.h))
+                m.rows.extend(b.rows)
+                m.lcup.extend(b.lcup)
+                m.pcup.extend(b.pcup)
+                m.pLSB.extend(b.pLSB)
+                m.maxbp.extend(b.maxbp)
+                m.magb.extend(b.magb)
+                m.istep.extend(b.istep)
+                m.dest.extend(d + f * total for d in b.dest)
+                m.stride.extend(b.stride)
+        prefill = np.concatenate([p[:-1] for p in prefills]
+                                 + [np.zeros(1, np.int32)])
+
+        # frame-replicated geometry
+        planes = []
+        borders = []
+        ndecs = []
+        mct = []
+        tci = []
+        for f in range(F):
+            pbase = len(planes)
+            for (off, ph, pw) in g0.planes:
+                planes.append((off + f * total, ph, pw))
+            borders.extend(g0.borders)
+            ndecs.extend(g0.ndecs)
+            mct.extend(g0.mct)
+            for idxs in g0.tile_comp_index:
+                tci.append(tuple(i + pbase for i in idxs))
+        geom_key = (tuple(planes), tuple(borders), tuple(ndecs), tuple(mct),
+                    tuple(tci), g0.cbps, F * total)
+
+        keys = sorted(merged.keys())
+        shapes, bucket_args = [], []
+        for key in keys:
+            args, n = _bucket_arrays(merged[key])
+            w, h = key
+            shapes.append((-(-w // 2), -(-h // 2), w, h))
+            bucket_args.append({k: jnp.asarray(v) for k, v in args.items()})
+
+        mus, oks = _entropy_stage(shapes, bucket_args)
+        fn = _compiled_assembly(tuple(shapes), geom_key)
+        outs = fn(jnp.asarray(prefill), mus, bucket_args)
+        outs = [np.asarray(o) for o in outs]
+
+        frames = []
+        per_frame = len(g0.planes)
+        for f, (hdr, tiles, _) in enumerate(parsed):
+            frames.append(self._assemble_frame(
+                hdr, tiles, outs[f * per_frame:(f + 1) * per_frame]))
+        return frames
+
     def _device_decode(self, hdr, tiles) -> DecodedFrame:
         import jax.numpy as jnp
 
@@ -402,8 +501,10 @@ class Decoder:
         fn = _compiled_assembly(tuple(shapes), geom_key)
         outs = fn(jnp.asarray(prefill), mus, bucket_args)
         outs = [np.asarray(o) for o in outs]
+        return self._assemble_frame(hdr, tiles, outs)
 
-        # assemble the frame (write_frame semantics, host side)
+    def _assemble_frame(self, hdr, tiles, outs) -> DecodedFrame:
+        """write_frame semantics on device output (host side)."""
         siz = hdr.siz
         fmt = pf.negotiate(siz, hdr.colour_space, siz.rsiz)
         precision = pf.output_precision(fmt, siz.precision)
