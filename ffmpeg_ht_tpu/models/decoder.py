@@ -207,18 +207,24 @@ def _pow2(n: int, lo: int) -> int:
 def _bucket_arrays(b: _Bucket):
     """Pack a bucket into padded device arrays.
 
-    Lane count and byte-row length are padded to powers of two so the
-    jitted entropy kernel's shape signature — and hence its compiled
-    executable — is reused across frames and geometries.
+    The byte rows are flattened into dense uint32 bit-stream words on the
+    host (ops/ht_batch.prepare_streams); lane count and word width are
+    padded to powers of two so the jitted entropy kernel's executable is
+    reused across frames and geometries.
     """
+    from ffmpeg_ht_tpu.ops.ht_batch import prepare_streams_batch
+
     n = len(b.rows)
     npad = _pow2(n, _LANE_PAD)
-    # two byte-row widths keep the kernel-executable count tiny
-    need = max(len(r) for r in b.rows) + 4
-    lmax = 2048 if need <= 2048 else _pow2(need, 16384)
+    lmax = max(max(len(r) for r in b.rows), 4)
     data = np.zeros((npad, lmax), np.uint8)
     for i, r in enumerate(b.rows):
         data[i, :len(r)] = r
+    lcups = np.full(npad, 2, np.int64)
+    lcups[:n] = b.lcup
+    pcups = np.zeros(npad, np.int64)
+    pcups[:n] = b.pcup
+    msw, melw, vlcw = prepare_streams_batch(data, lcups, pcups)
 
     def vec(vals, fill):
         a = np.full(npad, fill, np.int32)
@@ -226,9 +232,9 @@ def _bucket_arrays(b: _Bucket):
         return a
 
     return dict(
-        data=data,
-        lcup=vec(b.lcup, 2),
-        pcup=vec(b.pcup, 0),
+        msw=msw,
+        melw=melw,
+        vlcw=vlcw,
         pLSB=vec(b.pLSB, 2),
         maxbp=vec(b.maxbp, 32),
         magb=vec(b.magb, 8),
@@ -270,12 +276,12 @@ def _entropy_stage(shapes, bucket_args):
     so the expensive kernels compile once per codeblock shape and are
     shared across every geometry/image that uses that shape.
     """
-    from ffmpeg_ht_tpu.ops.ht_batch import decode_cleanup_bucket
+    from ffmpeg_ht_tpu.ops.ht_batch import decode_cleanup_words
 
     mus, oks = [], []
     for (qw, qh, w, h), args in zip(shapes, bucket_args):
-        mu, ok = decode_cleanup_bucket(
-            args["data"], args["lcup"], args["pcup"], args["pLSB"],
+        mu, ok = decode_cleanup_words(
+            args["msw"], args["melw"], args["vlcw"], args["pLSB"],
             args["maxbp"], qw, qh)
         mus.append(mu)
         oks.append(ok)
@@ -296,11 +302,18 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
 
     planes, borders, ndecs, mct_flags, tci, cbps, total = geom_key
 
-    def assemble(prefill, mus, bucket_args):
-        flat = prefill  # host-decoded slivers + one trailing trash slot
+    def assemble(pf_idx, pf_val, mus, bucket_args):
+        # host-decoded slivers arrive as a sparse (idx, val) pair: the
+        # dense flat buffer never crosses the host->device link
+        flat = jnp.zeros((total + 1,), jnp.int32)
+        flat = flat.at[pf_idx].set(pf_val)
 
         for (qw, qh, w, h), mu, args in zip(bucket_shapes, mus, bucket_args):
-            mu = mu[:, :h, :w]
+            # mu is in quad layout (N, QH_MAX, 4*QW_MAX): quad (qr, qc)
+            # corner i at [:, qr, 4*qc+i] with dy=i&1, dx=i>>1. Slice to
+            # the bucket's real quad grid (static), dequant, and fold the
+            # quad->raster permutation into the scatter's index math.
+            mu = mu[:, :qh, :4 * qw]
             # dequant (reversible path, jpeg2000dec.c:2119-2151):
             # sign-magnitude -> two's complement, downshift 31 - M_b
             val = mu.astype(jnp.uint32)
@@ -312,13 +325,17 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
             istep = args["istep"][:, None, None]
             coef = jnp.where(istep != 32768,
                              (coef * istep) >> 16, coef)
-            # scatter into the flat buffer; dest<0 lanes go to the trash
-            dy = jnp.arange(h, dtype=jnp.int32)[None, :, None]
-            dx = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+            # scatter into the flat buffer; dest<0 lanes and out-of-block
+            # padding samples go to the trash slot
+            qr = jnp.arange(qh, dtype=jnp.int32)[None, :, None]
+            t = jnp.arange(4 * qw, dtype=jnp.int32)[None, None, :]
+            qc = t >> 2
+            y = 2 * qr + (t & 1)
+            x = 2 * qc + ((t >> 1) & 1)
             base = args["dest"][:, None, None]
             stride = args["stride"][:, None, None]
-            idx = base + dy * stride + dx
-            idx = jnp.where(base < 0, total, idx)
+            idx = base + y * stride + x
+            idx = jnp.where((base < 0) | (y >= h) | (x >= w), total, idx)
             flat = flat.at[idx.ravel()].set(coef.ravel().astype(jnp.int32))
 
         # per tile-component inverse DWT
@@ -346,7 +363,10 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
             shift = 1 << (cbps - 1)
             comps = [jnp.clip(c + shift, 0, (1 << cbps) - 1) for c in comps]
             final.extend(comps)
-        return final
+        # one packed output buffer: a single (narrow-dtype) fetch replaces
+        # one 24ms sync round-trip per plane over the device link
+        dtype = jnp.uint8 if cbps <= 8 else jnp.uint16
+        return jnp.concatenate([c.astype(dtype).reshape(-1) for c in final])
 
     return jax.jit(assemble)
 
@@ -379,6 +399,31 @@ class Decoder:
                 reduction_factor=self.reduction_factor)
 
         return self._device_decode(hdr, tiles)
+
+    def decode_async(self, data: bytes):
+        """Parse + upload + dispatch without waiting for the device.
+
+        Returns a zero-argument callable producing the DecodedFrame; the
+        device round-trip happens there. Pipelining pattern (the analog
+        of the reference's frame threads, pthread_frame.c):
+
+            pending = [dec.decode_async(s) for s in streams]
+            frames = [p() for p in pending]
+        """
+        hdr = parse_codestream(data, bitexact=self.bitexact,
+                               reduction_factor=self.reduction_factor)
+        tiles = []
+        for tileno in range(len(hdr.tiles)):
+            tile = init_tile(hdr, tileno)
+            decode_tile_packets(hdr, tileno, tile)
+            tiles.append(tile)
+        if not _supported_on_device(hdr, tiles):
+            frame = host_decoder.decode_frame(
+                data, bitexact=self.bitexact,
+                reduction_factor=self.reduction_factor)
+            return lambda: frame
+        geom, packed = self._launch(hdr, tiles)
+        return lambda: self._finish(hdr, tiles, geom, packed)
 
     def decode_batch(self, streams) -> List[DecodedFrame]:
         """Decode many same-geometry frames in one device launch.
@@ -467,19 +512,33 @@ class Decoder:
             shapes.append((-(-w // 2), -(-h // 2), w, h))
             bucket_args.append({k: jnp.asarray(v) for k, v in args.items()})
 
+        nz = np.nonzero(prefill[:-1])[0]
+        pf_idx = jnp.asarray(nz.astype(np.int32)) if len(nz) else \
+            jnp.asarray(np.array([F * total], np.int32))
+        pf_val = jnp.asarray(prefill[nz].astype(np.int32)) if len(nz) else \
+            jnp.asarray(np.zeros(1, np.int32))
         mus, oks = _entropy_stage(shapes, bucket_args)
         fn = _compiled_assembly(tuple(shapes), geom_key)
-        outs = fn(jnp.asarray(prefill), mus, bucket_args)
-        outs = [np.asarray(o) for o in outs]
+        buf = np.asarray(fn(pf_idx, pf_val, mus, bucket_args))
 
         frames = []
-        per_frame = len(g0.planes)
+        off = 0
         for f, (hdr, tiles, _) in enumerate(parsed):
-            frames.append(self._assemble_frame(
-                hdr, tiles, outs[f * per_frame:(f + 1) * per_frame]))
+            outs = []
+            for (o, ph, pw) in g0.planes:
+                outs.append(buf[off:off + ph * pw].reshape(ph, pw))
+                off += ph * pw
+            frames.append(self._assemble_frame(hdr, tiles, outs))
         return frames
 
-    def _device_decode(self, hdr, tiles) -> DecodedFrame:
+    def _launch(self, hdr, tiles):
+        """Upload + dispatch the device program; no host sync.
+
+        Returns (geom, packed-output device array). The caller fetches
+        the single packed buffer when it needs the pixels — keeping the
+        sync points to one per frame lets callers software-pipeline
+        (parse frame n+1 while the device decodes frame n).
+        """
         import jax.numpy as jnp
 
         geom, buckets, prefill = _build_batch(hdr, tiles)
@@ -497,10 +556,29 @@ class Decoder:
         geom_key = (tuple(geom.planes), geom.borders, geom.ndecs, geom.mct,
                     tuple(tuple(i) for i in geom.tile_comp_index),
                     geom.cbps, geom.total)
+        # sparse prefill: only the host-decoded sliver coefficients cross
+        # the link (the dense buffer is materialized on device)
+        nz = np.nonzero(prefill[:-1])[0]
+        pf_idx = jnp.asarray(nz.astype(np.int32)) if len(nz) else \
+            jnp.asarray(np.array([geom.total], np.int32))
+        pf_val = jnp.asarray(prefill[nz].astype(np.int32)) if len(nz) else \
+            jnp.asarray(np.zeros(1, np.int32))
         mus, oks = _entropy_stage(shapes, bucket_args)
         fn = _compiled_assembly(tuple(shapes), geom_key)
-        outs = fn(jnp.asarray(prefill), mus, bucket_args)
-        outs = [np.asarray(o) for o in outs]
+        packed = fn(pf_idx, pf_val, mus, bucket_args)
+        return geom, packed
+
+    def _device_decode(self, hdr, tiles) -> DecodedFrame:
+        geom, packed = self._launch(hdr, tiles)
+        return self._finish(hdr, tiles, geom, packed)
+
+    def _finish(self, hdr, tiles, geom, packed) -> DecodedFrame:
+        buf = np.asarray(packed)
+        outs = []
+        off = 0
+        for (o, ph, pw) in geom.planes:
+            outs.append(buf[off:off + ph * pw].reshape(ph, pw))
+            off += ph * pw
         return self._assemble_frame(hdr, tiles, outs)
 
     def _assemble_frame(self, hdr, tiles, outs) -> DecodedFrame:

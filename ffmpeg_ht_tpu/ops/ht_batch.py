@@ -1,21 +1,25 @@
 """Batched HT cleanup decoder — the TPU entropy kernel (SURVEY.md K1).
 
-TPU-first formulation: the bit-serial HT cleanup scan (ht_dec.py scalar
-oracle; jpeg2000htdec.c:548-1014) is re-cast as a *lockstep vector program*
-over N codeblocks: every per-codeblock scalar of the reference (bit-stream
-cursors, MEL state, quad context) becomes an (N,)-lane vector, and the
-data-dependent control flow becomes masked lane updates. Codeblocks are
-bucketed by (quad_width, quad_height) so every per-quad array index is a
-*shared traced scalar* — the inner loop contains no gathers except the
-(N,)-wide table lookups (CxtVLC, MEL exponent) and per-lane byte loads.
+TPU-first formulation of the bit-serial HT cleanup scan (scalar oracle in
+ops/ht_dec.py; reference jpeg2000htdec.c:548-1014), in two stages:
 
-Within a codeblock the scan is sequential (same dependency structure as
-the reference); throughput comes from the N-lane width: one 4K frame
-yields thousands of codeblocks per bucket, which XLA maps onto the VPU's
-8x128 lanes.
+1. **Host stream preparation** (prepare_streams, numpy): byte-level
+   concerns — the backward VLC byte order, all three bit-unstuffing rules
+   and the Scup nibble — are *data-independent* given the segment bytes,
+   so the host flattens each codeblock's MagSgn/MEL/VLC segments into
+   dense little-endian bit streams packed as uint32 words. This removes
+   every byte-gather and stuffing branch from the device inner loop.
 
-Everything is uint32/int32 — no x64 dependency — and jit-compiles once per
-(qw, qh, Lmax) bucket shape.
+2. **Device lockstep scan**: every per-codeblock scalar of the reference
+   becomes an (N,)-lane vector; a read from any stream is two word
+   gathers + a funnel shift (_bits_read). The quad-pair scan is a
+   fori_loop whose trip counts are *traced* scalars, so one compiled
+   executable — keyed only on (N, words) array shapes — serves every
+   codeblock geometry up to 64x64. Within a codeblock the scan stays
+   sequential (same dependency structure as the reference); throughput
+   comes from the N-lane width.
+
+Everything is uint32/int32 — no x64 dependency.
 """
 
 from __future__ import annotations
@@ -31,6 +35,9 @@ from ffmpeg_ht_tpu.ops import tables as tb
 I32 = jnp.int32
 U32 = jnp.uint32
 
+NQ_MAX = 1024   # quad capacity: codeblocks up to 64x64 samples
+HW_MAX = 64     # raster capacity per axis
+
 # numpy table constants; jnp.asarray at use sites embeds them as trace
 # constants (a module-level jnp cache would leak tracers out of fori_loop)
 _CXTVLC_NP = tb.CXTVLC_PACKED.astype(np.int32)          # (2, 1024)
@@ -39,265 +46,386 @@ _UVLC_VAL_NP = tb.UVLC_PREFIX_VALUE.astype(np.int32)
 _UVLC_DROP_NP = tb.UVLC_PREFIX_DROP.astype(np.int32)
 
 
-def _tables():
-    return (jnp.asarray(_CXTVLC_NP), jnp.asarray(_MEL_E_NP),
-            jnp.asarray(_UVLC_VAL_NP), jnp.asarray(_UVLC_DROP_NP))
+# ---------------------------------------------------------------------------
+# host stream preparation
+# ---------------------------------------------------------------------------
+
+def _pack_bits(bits: np.ndarray) -> np.ndarray:
+    """Dense bit vector -> little-endian uint32 words."""
+    n = len(bits)
+    pad = (-n) % 32
+    if pad:
+        bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+    w = bits.reshape(-1, 32).astype(np.uint32)
+    return (w << np.arange(32, dtype=np.uint32)).sum(axis=1, dtype=np.uint32)
+
+_BIT_IDX = np.arange(8, dtype=np.uint8)
+
+
+def _unstuff_forward(seg: np.ndarray) -> np.ndarray:
+    """MagSgn/MEL byte payload bits: a byte following 0xFF carries 7 bits
+    (its MSB is a stuffing bit). Returns the dense bit vector, LSB-first
+    per byte (parity: ht_dec._FwdBits / jpeg2000htdec.c:207-221)."""
+    if len(seg) == 0:
+        return np.zeros(0, np.uint8)
+    prev = np.concatenate([[0], seg[:-1]])
+    nbits = np.where(prev == 0xFF, 7, 8).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(nbits)[:-1]])
+    total = int(offs[-1] + nbits[-1])
+    out = np.zeros(total, np.uint8)
+    for j in range(8):
+        sel = j < nbits
+        pos = offs[sel] + j
+        out[pos] = (seg[sel] >> j) & 1
+    return out
+
+
+def _unstuff_mel(seg: np.ndarray) -> np.ndarray:
+    """MEL bits are consumed MSB-first within each (7/8-bit) byte."""
+    if len(seg) == 0:
+        return np.zeros(0, np.uint8)
+    prev = np.concatenate([[0], seg[:-1]])
+    nbits = np.where(prev == 0xFF, 7, 8).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(nbits)[:-1]])
+    total = int(offs[-1] + nbits[-1])
+    out = np.zeros(total, np.uint8)
+    for j in range(8):
+        sel = j < nbits
+        pos = offs[sel] + j
+        shift = (nbits[sel] - 1 - j)
+        out[pos] = (seg[sel] >> shift) & 1
+    return out
+
+
+def _unstuff_vlc(dcup: np.ndarray, lcup: int, pcup: int) -> np.ndarray:
+    """Backward VLC segment -> dense bit vector in reading order.
+
+    Reading starts at byte lcup-2 and walks down to pcup (and beyond:
+    the reference reads zero bits past the start; dense-array reads past
+    the end return 0 via clamping, matching that slop). Per-byte
+    unstuffing: drop the MSB when the previously-read byte (higher
+    address, after modDcup) exceeds 0x8F and the low 7 bits are all ones
+    (ht_dec._RevBits.refill / jpeg2000htdec.c:145-201). The first byte's
+    low nibble (Scup) is skipped (decoder drops 4; modDcup makes it 0xF
+    for the stuffing test)."""
+    seg = dcup[pcup:lcup].copy()
+    n = len(seg)
+    if n < 2:
+        return np.zeros(0, np.uint8)
+    seg[-1] = 0xFF          # modDcup trailer
+    seg[-2] |= 0x0F         # modDcup Scup nibble
+    rd = seg[::-1]          # reading order: lcup-1 (context only), lcup-2,...
+    # rd[0] is the 0xFF trailer: context for rd[1], carries no payload
+    cur = rd[1:]
+    prev = rd[:-1]
+    stuffed = (prev > 0x8F) & ((cur & 0x7F) == 0x7F)
+    nbits = np.where(stuffed, 7, 8).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(nbits)[:-1]])
+    total = int(offs[-1] + nbits[-1])
+    out = np.zeros(total, np.uint8)
+    for j in range(8):
+        sel = j < nbits
+        pos = offs[sel] + j
+        out[pos] = (cur[sel] >> j) & 1
+    return out[4:]          # skip the Scup low nibble
+
+
+_ONES_TAIL = np.ones(64, np.uint8)
+
+
+def _scatter_bits(cur, nbits, valid, msb_first, skip=None):
+    """Vectorized bit scatter: payload bits of byte matrix `cur` (N, L)
+    with per-byte widths `nbits` into dense per-row bit arrays.
+
+    Returns (bits (N, B), total_bits (N,)). `skip` (N, L) optional bit
+    offset subtracted from positions (negative positions dropped)."""
+    n, l = cur.shape
+    nb = np.where(valid, nbits, 0).astype(np.int64)
+    offs = np.cumsum(nb, axis=1) - nb
+    total = nb.sum(axis=1)
+    if skip is not None:
+        offs = offs - skip
+        total = total - skip[:, 0]
+    bmax = int(total.max()) if len(total) else 0
+    out = np.zeros((n, bmax + 8), np.uint8)
+    rows = np.broadcast_to(np.arange(n)[:, None], (n, l))
+    for j in range(8):
+        sel = valid & (j < nbits)
+        pos = offs + j
+        if skip is None:
+            s = sel
+        else:
+            s = sel & (pos >= 0)
+        if msb_first:
+            bits = (cur >> np.maximum(nbits - 1 - j, 0)) & 1
+        else:
+            bits = (cur >> j) & 1
+        out[rows[s], pos[s]] = bits[s]
+    return out, total
+
+
+def _append_ones(bits, total):
+    """Set 64 one-bits starting at each row's total (0xFF synthesis)."""
+    n = bits.shape[0]
+    need = int(total.max()) + 64 + 8 if n else 64
+    if bits.shape[1] < need:
+        bits = np.concatenate(
+            [bits, np.zeros((n, need - bits.shape[1]), np.uint8)], axis=1)
+    idx = total[:, None] + np.arange(64)
+    bits[np.arange(n)[:, None], idx] = 1
+    return bits, total + 64
+
+
+def _pack_words(bits):
+    """(N, B) bit matrix -> (N, W) little-endian uint32 words."""
+    n, bmax = bits.shape
+    pad = (-bmax) % 32
+    if pad:
+        bits = np.concatenate([bits, np.zeros((n, pad), np.uint8)], axis=1)
+    w = bits.shape[1] // 32
+    v = bits.reshape(n, w, 32).astype(np.uint32)
+    return (v << np.arange(32, dtype=np.uint32)).sum(axis=2,
+                                                     dtype=np.uint32)
+
+
+def prepare_streams_batch(data, lcup, pcup):
+    """Vectorized host stream prep over a whole bucket.
+
+    data: uint8 (N, L) raw Dcup byte rows (modDcup optional); lcup/pcup
+    int arrays (N,). Returns three uint32 word arrays sharing one
+    pow2-quantized width. MagSgn and MEL get an all-ones tail mirroring
+    the reference's 0xFF synthesis past the segment end
+    (jpeg2000htdec.c:207-221, 429-435); the VLC stream reads zeros past
+    its start like the reference's backward refill slop.
+    """
+    data = np.asarray(data, np.uint8)
+    n, l = data.shape
+    lcup = np.asarray(lcup, np.int64)
+    pcup = np.asarray(pcup, np.int64)
+    cols = np.arange(l)[None, :]
+
+    # --- MagSgn: bytes [0, pcup), LSB-first, 0xFF -> next byte 7 bits ---
+    valid = cols < pcup[:, None]
+    prev = np.concatenate([np.zeros((n, 1), np.uint8), data[:, :-1]], axis=1)
+    nbits = np.where(prev == 0xFF, 7, 8)
+    bits, total = _scatter_bits(data, nbits, valid, False)
+    bits, total = _append_ones(bits, total)
+    msw = _pack_words(bits)
+
+    # --- MEL: bytes [pcup, lcup), MSB-first within the 7/8 payload ---
+    valid = (cols >= pcup[:, None]) & (cols < lcup[:, None])
+    first = cols == pcup[:, None]
+    prev_mel = np.where(first, 0, prev)  # stream-local predecessor
+    nbits = np.where(prev_mel == 0xFF, 7, 8)
+    bits, total = _scatter_bits(data, nbits, valid, True)
+    bits, total = _append_ones(bits, total)
+    melw = _pack_words(bits)
+
+    # --- VLC: bytes lcup-2 .. pcup in reading (descending) order with
+    # modDcup (trailer 0xFF, Scup nibble |= 0xF) and the 4-bit skip ---
+    ncols = int((lcup - pcup).max()) if n else 2
+    k = np.arange(ncols)[None, :]
+    src = (lcup[:, None] - 2) - k
+    inside = src >= pcup[:, None]
+    srcc = np.clip(src, 0, l - 1)
+    cur = np.take_along_axis(data, srcc, axis=1)
+    cur = np.where(inside, cur, 0)
+    cur = np.where(k == 0, cur | 0x0F, cur)      # modDcup Scup nibble
+    prevv = np.take_along_axis(
+        data, np.clip(src + 1, 0, l - 1), axis=1)
+    prevv = np.where(k == 1, prevv | 0x0F, prevv)  # prev byte post-modDcup
+    prevv = np.where(k == 0, 0xFF, prevv)        # modDcup trailer byte
+    stuffed = (prevv > 0x8F) & ((cur & 0x7F) == 0x7F)
+    nbits = np.where(stuffed, 7, 8)
+    skip = np.full((n, ncols), 4, np.int64)      # drop the Scup low nibble
+    bits, total = _scatter_bits(cur, nbits, inside, False, skip=skip)
+    vlcw = _pack_words(bits)
+
+    # one shared pow2 width: fewer kernel executable variants
+    need = max(msw.shape[1], melw.shape[1], vlcw.shape[1], 2) + 2
+    w = 16
+    while w < need:
+        w *= 2
+
+    def widen(a):
+        out = np.zeros((n, w), np.uint32)
+        out[:, :a.shape[1]] = a
+        return out
+
+    return widen(msw), widen(melw), widen(vlcw)
+
+
+def prepare_streams(rows, lcups, pcups):
+    """List-of-rows front-end over prepare_streams_batch."""
+    n = len(rows)
+    l = max(max(len(r) for r in rows), 4)
+    data = np.zeros((n, l), np.uint8)
+    for i, r in enumerate(rows):
+        data[i, :len(r)] = r
+    return prepare_streams_batch(data, np.asarray(lcups),
+                                 np.asarray(pcups))
 
 
 # ---------------------------------------------------------------------------
-# lockstep bit readers. State is a dict of (N,) arrays; every operation
-# takes an `active` lane mask and leaves inactive lanes untouched.
+# device bit reader: dense uint32 word streams with a per-lane 64-bit
+# window register. Peeks are register-only; a word fetch (one-hot gather,
+# cheaper than native gather on TPU) happens only when some lane's read
+# position crosses a word boundary, and is skipped entirely (lax.cond)
+# when no lane crossed.
 # ---------------------------------------------------------------------------
 
-def _byte_at(data, pos):
-    """data[lane, clamp(pos)] with 0 for out-of-range positions."""
-    n = data.shape[1]
-    safe = jnp.clip(pos, 0, n - 1)
-    b = jnp.take_along_axis(data, safe[:, None], axis=1)[:, 0].astype(I32)
-    return jnp.where((pos >= 0) & (pos < n), b, 0)
+def st_init(words):
+    """Stream state: (pos, widx, lo, hi); window = bits [32*widx, 32*widx+64)."""
+    N, W = words.shape
+    z = jnp.zeros((N,), I32)
+    lo = words[:, 0]
+    hi = words[:, 1] if W > 1 else jnp.zeros((N,), U32)
+    return (z, z, lo, hi)
 
 
-# --- VLC: backward, LSB-first, per-byte unstuffing (ht_dec._RevBits) ---
-
-def vlc_init(data, lcup, pcup):
-    """Cursor starts at byte lcup-2 (modDcup already applied on host)."""
-    st = {
-        "pos": lcup - 2,
-        "prev": jnp.full(lcup.shape, 0xFF, I32),  # byte at lcup-1 (modDcup)
-        "buf": jnp.zeros(lcup.shape, U32),
-        "bits": jnp.zeros(lcup.shape, I32),
-    }
-    st = _vlc_refill(data, st, jnp.ones(lcup.shape, bool))
-    st = vlc_drop(st, jnp.full(lcup.shape, 4, I32),
-                  jnp.ones(lcup.shape, bool))
-    return st
+def _fetch(words, idx):
+    """Per-lane word gather as a one-hot reduce (OOB reads 0)."""
+    W = words.shape[1]
+    ar = jnp.arange(W, dtype=I32)[None, :]
+    sel = ar == idx[:, None]
+    return jnp.sum(jnp.where(sel, words, jnp.uint32(0)), axis=1, dtype=U32)
 
 
-def _vlc_refill_byte(data, st, want):
-    b = _byte_at(data, st["pos"])
-    stuffed = (st["prev"] > 0x8F) & ((b & 0x7F) == 0x7F)
-    payload = jnp.where(stuffed, b & 0x7F, b).astype(U32)
-    nbits = jnp.where(stuffed, 7, 8)
-    do = want & (st["bits"] < 16)
-    buf = jnp.where(do, st["buf"] | (payload << st["bits"].astype(U32)),
-                    st["buf"])
-    bits = jnp.where(do, st["bits"] + nbits, st["bits"])
-    pos = jnp.where(do, st["pos"] - 1, st["pos"])
-    prev = jnp.where(do, b, st["prev"])
-    return {"pos": pos, "prev": prev, "buf": buf, "bits": bits}
+def _st_window(st):
+    """The 32 bits at the current position (register-only, no memory)."""
+    pos, widx, lo, hi = st
+    off = (pos - (widx << 5)).astype(U32)
+    return (lo >> off) | jnp.where(off == 0, jnp.uint32(0),
+                                   hi << (jnp.uint32(32) - off))
 
 
-def _vlc_refill(data, st, active):
-    # two masked byte loads guarantee bits >= 16 for any following read
-    st = _vlc_refill_byte(data, st, active)
-    st = _vlc_refill_byte(data, st, active)
-    st = _vlc_refill_byte(data, st, active)
-    return st
+def st_peek(st, n: int):
+    """Peek n (static, < 32) bits."""
+    return _st_window(st) & ((jnp.uint32(1) << n) - 1)
 
 
-def vlc_peek(st, n):
-    return (st["buf"] & ((jnp.uint32(1) << n) - 1)).astype(I32)
+def st_advance(words, st, n, active):
+    """Consume n (per-lane, <= 25) bits; refill the window if needed."""
+    pos, widx, lo, hi = st
+    pos = pos + jnp.where(active, n, 0).astype(I32)
+    shift = (pos >> 5) > widx  # advances by at most one word (n <= 25)
+
+    def refill(args):
+        pos, widx, lo, hi = args
+        nhi = _fetch(words, widx + 2)
+        lo2 = jnp.where(shift, hi, lo)
+        hi2 = jnp.where(shift, nhi, hi)
+        return pos, widx + shift.astype(I32), lo2, hi2
+
+    return jax.lax.cond(jnp.any(shift), refill, lambda a: a,
+                        (pos, widx, lo, hi))
 
 
-def vlc_drop(st, n, active):
-    n = jnp.where(active, n, 0).astype(U32)
-    return {**st, "buf": st["buf"] >> n,
-            "bits": st["bits"] - n.astype(I32)}
-
-
-def vlc_get(data, st, n, active):
-    """Read n (per-lane) bits LSB-first; n <= 12."""
-    st = _vlc_refill(data, st, active)
-    mask = (jnp.uint32(1) << n.astype(U32)) - 1
-    val = (st["buf"] & mask).astype(I32)
-    st = vlc_drop(st, n, active)
-    return jnp.where(active, val, 0), st
-
-
-# --- MagSgn: forward, LSB-first, 0xFF->7bit (ht_dec._FwdBits) ---
-
-def ms_init(data, pcup):
-    st = {
-        "pos": jnp.zeros(pcup.shape, I32),
-        "last": jnp.zeros(pcup.shape, I32),
-        "buf": jnp.zeros(pcup.shape, U32),
-        "bits": jnp.zeros(pcup.shape, I32),
-        "end": pcup,
-    }
-    return _ms_refill(data, st, jnp.ones(pcup.shape, bool))
-
-
-def _ms_refill_byte(data, st, want):
-    inside = st["pos"] < st["end"]
-    b = jnp.where(inside, _byte_at(data, st["pos"]), 0xFF)
-    nbits = jnp.where(st["last"] == 0xFF, 7, 8)
-    do = want & (st["bits"] < 25)
-    # OR the full byte; a byte following 0xFF has MSB 0 in valid streams so
-    # the 1-bit overlap is harmless (parity: jpeg2000htdec.c:207-221)
-    buf = jnp.where(do, st["buf"] | (b.astype(U32) << st["bits"].astype(U32)),
-                    st["buf"])
-    bits = jnp.where(do, st["bits"] + nbits, st["bits"])
-    pos = jnp.where(do & inside, st["pos"] + 1, st["pos"])
-    last = jnp.where(do, b, st["last"])
-    return {**st, "pos": pos, "last": last, "buf": buf, "bits": bits}
-
-
-def _ms_refill(data, st, active):
-    for _ in range(4):
-        st = _ms_refill_byte(data, st, active)
-    return st
-
-
-def ms_get(data, st, n, active):
+def st_get(words, st, n, active):
     """Read n (per-lane, <= 25) bits LSB-first."""
-    st = _ms_refill(data, st, active)
-    nn = n.astype(U32)
+    nn = jnp.where(active & (n > 0), n, 0).astype(U32)
     mask = (jnp.uint32(1) << nn) - 1
-    val = st["buf"] & mask
-    do = active & (n > 0)
-    nn = jnp.where(do, nn, 0)
-    st = {**st, "buf": st["buf"] >> nn, "bits": st["bits"] - nn.astype(I32)}
-    return jnp.where(do, val, 0).astype(U32), st
+    val = _st_window(st) & mask
+    return val, st_advance(words, st, nn.astype(I32), active)
 
 
-# --- MEL (ht_dec._MelState) ---
+# ---------------------------------------------------------------------------
+# MEL decoder (jpeg2000htdec.c:462-495)
+# ---------------------------------------------------------------------------
 
-def mel_init(pcup, lcup):
-    z = jnp.zeros(pcup.shape, I32)
-    return {"k": z, "run": z, "one": z, "pos": pcup, "tmp": z, "bits": z,
-            "end": lcup}
-
-
-def _mel_import_bit(data, st, want):
-    cond = st["pos"] < st["end"]
-    safe = jnp.minimum(st["pos"], st["end"] - 1)
-    b = _byte_at(data, safe)
-    need = want & (st["bits"] == 0)
-    newbits = jnp.where(st["tmp"] == 0xFF, 7, 8)
-    bits = jnp.where(need, newbits, st["bits"])
-    tmp = jnp.where(need, jnp.where(cond, b, 0xFF), st["tmp"])
-    pos = jnp.where(need & cond, st["pos"] + 1, st["pos"])
-    bits = jnp.where(want, bits - 1, bits)
-    bit = jnp.where(want, (tmp >> bits) & 1, 0)
-    return bit, {**st, "pos": pos, "tmp": tmp, "bits": bits}
-
-
-def mel_sym(data, st, active):
-    """One MEL symbol for active lanes (jpeg2000htdec.c:462-495)."""
-    _, mel_e, _, _ = _tables()
-    fresh = active & (st["run"] == 0) & (st["one"] == 0)
-    eval_ = mel_e[jnp.clip(st["k"], 0, 12)]
-    bit, st = _mel_import_bit(data, st, fresh)
+def mel_sym(melw, st, active):
+    """One MEL symbol for active lanes. st = (stream, k, run, one)."""
+    sst, k, run, one = st
+    mel_e = jnp.asarray(_MEL_E_NP)
+    fresh = active & (run == 0) & (one == 0)
+    eval_ = mel_e[jnp.clip(k, 0, 12)]
+    bit, sst = st_get(melw, sst, jnp.where(fresh, 1, 0), fresh)
+    bit = bit.astype(I32)
     hit = fresh & (bit == 1)
     miss = fresh & (bit == 0)
-    run = jnp.where(hit, jnp.int32(1) << eval_, st["run"])
-    k = jnp.where(hit, jnp.minimum(12, st["k"] + 1), st["k"])
-    # miss path: read eval_ bits MSB-first into run
+    # miss: read eval_ bits MSB-first -> bit-reverse the LSB-first read
+    mv, sst = st_get(melw, sst, jnp.where(miss, eval_, 0), miss)
+    mv = mv.astype(I32)
     mrun = jnp.zeros_like(run)
-    for i in range(7):  # eval_ <= 7
-        take = miss & (i < eval_)
-        b2, st = _mel_import_bit(data, st, take)
-        mrun = jnp.where(take, 2 * mrun + b2, mrun)
-    run = jnp.where(miss, mrun, run)
-    k = jnp.where(miss, jnp.maximum(0, st["k"] - 1), k)
-    one = jnp.where(miss, 1, jnp.where(hit, 0, st["one"]))
+    for j in range(7):
+        take = miss & (j < eval_)
+        mrun = jnp.where(take,
+                         mrun | (((mv >> j) & 1) << jnp.maximum(
+                             eval_ - 1 - j, 0)), mrun)
+    run = jnp.where(hit, jnp.int32(1) << eval_,
+                    jnp.where(miss, mrun, run))
+    k = jnp.where(hit, jnp.minimum(12, k + 1),
+                  jnp.where(miss, jnp.maximum(0, k - 1), k))
+    one = jnp.where(miss, 1, jnp.where(hit, 0, one))
 
     in_run = active & (run > 0)
     sym = jnp.where(in_run, 0, 1)
     run = jnp.where(in_run, run - 1, run)
     one = jnp.where(active & ~in_run, 0, one)
-    st = {**st, "k": k, "run": run, "one": one}
-    return jnp.where(active, sym, 0), st
+    return jnp.where(active, sym, 0), (sst, k, run, one)
 
 
 # ---------------------------------------------------------------------------
-# U-VLC (ht_dec._u_prefix/_u_suffix/_u_extension, lockstep)
+# U-VLC (jpeg2000htdec.c:338-388)
 # ---------------------------------------------------------------------------
 
-def _u_prefix(data, vlc, active):
-    _, _, uval, udrop = _tables()
-    vlc = _vlc_refill(data, vlc, active)
-    bits3 = vlc_peek(vlc, 3)
+def _u_prefix(vlcw, vst, active):
+    uval = jnp.asarray(_UVLC_VAL_NP)
+    udrop = jnp.asarray(_UVLC_DROP_NP)
+    bits3 = st_peek(vst, 3).astype(I32)
     val = uval[bits3]
-    vlc = vlc_drop(vlc, udrop[bits3], active)
-    return jnp.where(active, val, 0), vlc
+    vst = st_advance(vlcw, vst, jnp.where(active, udrop[bits3], 0), active)
+    return jnp.where(active, val, 0), vst
 
 
-def _u_suffix(data, vlc, prefix, active):
+def _u_suffix(vlcw, vst, prefix, active):
     has = active & (prefix >= 3)
-    vlc = _vlc_refill(data, vlc, has)
-    bits5 = vlc_peek(vlc, 5)
+    bits5 = st_peek(vst, 5).astype(I32)
     is3 = has & (prefix == 3)
     is5 = has & (prefix > 3)
     val = jnp.where(is3, bits5 & 1, jnp.where(is5, bits5 & 31, 0))
-    vlc = vlc_drop(vlc, jnp.where(is3, 1, jnp.where(is5, 5, 0)), active)
-    return val, vlc
+    vst = st_advance(vlcw, vst, jnp.where(is3, 1, jnp.where(is5, 5, 0)),
+                     active)
+    return val, vst
 
 
-def _u_extension(data, vlc, suffix, active):
+def _u_extension(vlcw, vst, suffix, active):
     has = active & (suffix >= 28)
-    n = jnp.where(has, 4, 0)
-    val, vlc = vlc_get(data, vlc, n, active)
-    return jnp.where(has, val, 0), vlc
+    val, vst = st_get(vlcw, vst, jnp.where(has, 4, 0), has)
+    return jnp.where(has, val.astype(I32), 0), vst
 
 
-def _u_full(data, vlc, active):
-    """u = prefix + suffix + 4*extension for active lanes."""
-    p, vlc = _u_prefix(data, vlc, active)
-    s, vlc = _u_suffix(data, vlc, p, active)
-    e, vlc = _u_extension(data, vlc, s, active)
-    return jnp.where(active, p + s + 4 * e, 0), vlc
+def _u_full(vlcw, vst, active):
+    p, vst = _u_prefix(vlcw, vst, active)
+    s, vst = _u_suffix(vlcw, vst, p, active)
+    e, vst = _u_extension(vlcw, vst, s, active)
+    return jnp.where(active, p + s + 4 * e, 0), vst
 
 
 # ---------------------------------------------------------------------------
 # quad decode pieces
 # ---------------------------------------------------------------------------
 
-def _ctx_vlc(data, vlc, tbl_idx, context, active):
-    cxt, _, _, _ = _tables()
-    vlc = _vlc_refill(data, vlc, active)
-    code = vlc_peek(vlc, 7)
+def _ctx_vlc(vlcw, vst, tbl_idx, context, active):
+    cxt = jnp.asarray(_CXTVLC_NP)
+    code = st_peek(vst, 7).astype(I32)
     packed = cxt[tbl_idx, code + (context << 7)]
-    vlc = vlc_drop(vlc, (packed & 0xF) >> 1, active)
+    vst = st_advance(vlcw, vst,
+                     jnp.where(active, (packed & 0xF) >> 1, 0), active)
     res = jnp.where(active, packed & 1, 0)
     sp = jnp.where(active, (packed >> 4) & 0xF, 0)
     ek = jnp.where(active, (packed >> 8) & 0xF, 0)
     e1 = jnp.where(active, (packed >> 12) & 0xF, 0)
-    return res, sp, ek, e1, vlc
+    return res, sp, ek, e1, vst
 
 
-def _sig_emb(data, mel, vlc, tbl_idx, context, active):
+def _sig_emb(melw, vlcw, mel_st, vst, tbl_idx, context, active):
     """MEL-gated CxtVLC (jpeg2000htdec.c:510-531), lockstep."""
     melled = active & (context == 0)
-    sym, mel = mel_sym(data, mel, melled)
+    sym, mel_st = mel_sym(melw, mel_st, melled)
     read_vlc = active & ((context != 0) | (sym == 1))
-    res, sp, ek, e1, vlc = _ctx_vlc(data, vlc, tbl_idx, context, read_vlc)
-    return res, sp, ek, e1, mel, vlc
-
-
-def _recover(data, ms, q, U, sp, ek, e1, pLSB, E, mu, active):
-    """MagSgn recovery for quad q (jpeg2000htdec.c:395-427), lockstep.
-
-    E: (N, M) exponents; mu: (N, M) sample values. q is a shared scalar.
-    """
-    for i in range(4):
-        sig = (sp >> i) & 1
-        m_n = sig * U - ((ek >> i) & 1)
-        # clamp keeps shifts defined on invalid streams (ok flag already
-        # false there); valid streams satisfy m_n <= maxbp <= 25
-        m_n = jnp.minimum(m_n, 25)
-        known1 = ((e1 >> i) & 1).astype(U32)
-        do = active & (m_n > 0)
-        v, ms = ms_get(data, ms, jnp.where(do, m_n, 0), do)
-        v = v + (known1 << jnp.where(do, m_n, 0).astype(U32))
-        e_n = _bitlen32(v | jnp.uint32(1))  # 32 - clz(v | 1)
-        val = (((v >> 1) + 1) << pLSB.astype(U32)) \
-            | (jnp.uint32(1) << (pLSB.astype(U32) - 1)) \
-            | ((v & 1) << 31)
-        idx = 4 * q + i
-        E = _set_col(E, idx, jnp.where(do, e_n, _get_col(E, idx)))
-        mu = _set_col(mu, idx, jnp.where(do, val, _get_col(mu, idx)))
-    return E, mu, ms
+    res, sp, ek, e1, vst = _ctx_vlc(vlcw, vst, tbl_idx, context, read_vlc)
+    return res, sp, ek, e1, mel_st, vst
 
 
 def _bitlen32(v):
@@ -311,252 +439,313 @@ def _bitlen32(v):
     return n + jnp.where(v > 0, 1, 0)
 
 
+def _recover_quad(msw, mst, U, sp, ek, e1, pLSB, active):
+    """MagSgn recovery for one quad (jpeg2000htdec.c:395-427).
+
+    Returns (mu_vals (N,4) u32, E_vals (N,4) i32, new stream state)."""
+    mus, es = [], []
+    for i in range(4):
+        sig = (sp >> i) & 1
+        m_n = sig * U - ((ek >> i) & 1)
+        m_n = jnp.minimum(m_n, 25)  # defined shifts on invalid streams
+        known1 = ((e1 >> i) & 1).astype(U32)
+        do = active & (m_n > 0)
+        v, mst = st_get(msw, mst, jnp.where(do, m_n, 0), do)
+        v = v + (known1 << jnp.where(do, m_n, 0).astype(U32))
+        e_n = _bitlen32(v | jnp.uint32(1))
+        val = (((v >> 1) + 1) << pLSB.astype(U32)) \
+            | (jnp.uint32(1) << (pLSB.astype(U32) - 1)) \
+            | ((v & 1) << 31)
+        mus.append(jnp.where(do, val, jnp.uint32(0)))
+        es.append(jnp.where(do, e_n, 0))
+    return jnp.stack(mus, axis=1), jnp.stack(es, axis=1), mst
+
+
+def _set_quad(arr, q, vals):
+    """Write an (N, 4) block at columns [4q, 4q+4)."""
+    return jax.lax.dynamic_update_slice_in_dim(arr, vals, 4 * q, axis=1)
+
+
 def _get_col(arr, idx):
     return jax.lax.dynamic_slice_in_dim(arr, idx, 1, axis=1)[:, 0]
 
 
-def _set_col(arr, idx, val):
-    return jax.lax.dynamic_update_slice_in_dim(arr, val[:, None], idx, axis=1)
-
-
 # ---------------------------------------------------------------------------
-# the full cleanup scan for one (qw, qh) bucket
+# u pair coding (initial / non-initial rows)
 # ---------------------------------------------------------------------------
 
-def _quad_pair_u_initial(data, mel, vlc, r1, r2, active):
-    """Initial-row joint u coding (jpeg2000htdec.c:666-712), lockstep."""
+def _quad_pair_u_initial(melw, vlcw, mel_st, vst, r1, r2, active):
+    """Initial-row joint u coding (jpeg2000htdec.c:666-712)."""
     both = active & (r1 == 1) & (r2 == 1)
     only1 = active & (r1 == 1) & (r2 == 0)
     only2 = active & (r1 == 0) & (r2 == 1)
 
-    sym, mel = mel_sym(data, mel, both)
+    sym, mel_st = mel_sym(melw, mel_st, both)
     mel1 = both & (sym == 1)
     mel0 = both & (sym == 0)
 
-    # mel1: u_i = 2 + full uvlc pair (interleaved prefix/suffix/ext)
-    p0a, vlc = _u_prefix(data, vlc, mel1)
-    # mel0 path reads p0 first too — merge the first prefix read
-    p0b, vlc = _u_prefix(data, vlc, mel0)
-    p0 = jnp.where(mel1, p0a, p0b)
-
+    p0, vst = _u_prefix(vlcw, vst, mel1 | mel0)
     big = mel0 & (p0 > 2)
     small = mel0 & (p0 <= 2)
-
-    # second prefix: mel1 pair, or mel0-small pair
-    p1, vlc = _u_prefix(data, vlc, mel1 | small)
-    # big: 1 bit for u2
-    bit, vlc = vlc_get(data, vlc, jnp.where(big, 1, 0), big)
-
-    s0, vlc = _u_suffix(data, vlc, p0, mel1 | mel0)
-    s1, vlc = _u_suffix(data, vlc, p1, mel1 | small)
-    e0, vlc = _u_extension(data, vlc, s0, mel1 | mel0)
-    e1x, vlc = _u_extension(data, vlc, s1, mel1 | small)
+    p1, vst = _u_prefix(vlcw, vst, mel1 | small)
+    bit, vst = st_get(vlcw, vst, jnp.where(big, 1, 0), big)
+    bit = bit.astype(I32)
+    s0, vst = _u_suffix(vlcw, vst, p0, mel1 | mel0)
+    s1, vst = _u_suffix(vlcw, vst, p1, mel1 | small)
+    e0, vst = _u_extension(vlcw, vst, s0, mel1 | mel0)
+    e1x, vst = _u_extension(vlcw, vst, s1, mel1 | small)
 
     u0_pair = jnp.where(mel1, 2 + p0 + s0 + 4 * e0, p0 + s0 + 4 * e0)
     u1_pair = jnp.where(mel1, 2 + p1 + s1 + 4 * e1x,
                         jnp.where(big, bit + 1, p1 + s1 + 4 * e1x))
 
-    uo1, vlc = _u_full(data, vlc, only1)
-    uo2, vlc = _u_full(data, vlc, only2)
+    uo1, vst = _u_full(vlcw, vst, only1)
+    uo2, vst = _u_full(vlcw, vst, only2)
 
     u1 = jnp.where(both, u0_pair, jnp.where(only1, uo1, 0))
     u2 = jnp.where(both, u1_pair, jnp.where(only2, uo2, 0))
-    return u1, u2, mel, vlc
+    return u1, u2, mel_st, vst
 
 
-def _quad_pair_u_noninit(data, vlc, r1, r2, active):
-    """Non-initial-row u pair (jpeg2000htdec.c:828-854), lockstep."""
+def _quad_pair_u_noninit(vlcw, vst, r1, r2, active):
+    """Non-initial-row u pair (jpeg2000htdec.c:828-854)."""
     both = active & (r1 == 1) & (r2 == 1)
     only1 = active & (r1 == 1) & (r2 == 0)
     only2 = active & (r1 == 0) & (r2 == 1)
-    p0, vlc = _u_prefix(data, vlc, both)
-    p1, vlc = _u_prefix(data, vlc, both)
-    s0, vlc = _u_suffix(data, vlc, p0, both)
-    s1, vlc = _u_suffix(data, vlc, p1, both)
-    e0, vlc = _u_extension(data, vlc, s0, both)
-    e1x, vlc = _u_extension(data, vlc, s1, both)
-    uo1, vlc = _u_full(data, vlc, only1)
-    uo2, vlc = _u_full(data, vlc, only2)
+    p0, vst = _u_prefix(vlcw, vst, both)
+    p1, vst = _u_prefix(vlcw, vst, both)
+    s0, vst = _u_suffix(vlcw, vst, p0, both)
+    s1, vst = _u_suffix(vlcw, vst, p1, both)
+    e0, vst = _u_extension(vlcw, vst, s0, both)
+    e1x, vst = _u_extension(vlcw, vst, s1, both)
+    uo1, vst = _u_full(vlcw, vst, only1)
+    uo2, vst = _u_full(vlcw, vst, only2)
     u1 = jnp.where(both, p0 + s0 + (e0 << 2), jnp.where(only1, uo1, 0))
     u2 = jnp.where(both, p1 + s1 + (e1x << 2), jnp.where(only2, uo2, 0))
-    return u1, u2, vlc
+    return u1, u2, vst
 
 
-NQ_MAX = 1024   # quad capacity: covers codeblocks up to 64x64 samples
-HW_MAX = 64     # raster capacity per axis
+QW_MAX = 32
+QH_MAX = 32
 
 
 @jax.jit
-def decode_cleanup_bucket(data, lcup, pcup, pLSB, maxbp, qw, qh):
+def decode_cleanup_words(msw, melw, vlcw, pLSB, maxbp, qw, qh):
     """Decode N codeblocks' cleanup segments in lockstep.
 
-    data: uint8 (N, Lmax), modDcup applied. qw/qh are *traced* scalars
-    shared by every lane (all codeblocks in a bucket have one shape), so a
-    single compiled executable — keyed only on (N, Lmax) — serves every
-    codeblock geometry up to 64x64. Returns (mu, ok): mu uint32
-    (N, HW_MAX, HW_MAX) sign-magnitude samples (crop to the real
-    height/width on the host side), ok bool (N,) — False where a U bound
-    was violated (invalid stream; host falls back / rejects).
+    msw/melw/vlcw: uint32 (N, W) dense bit streams from prepare_streams.
+    qw/qh: traced scalars shared by every lane (a bucket holds one
+    codeblock shape), so one compiled executable — keyed only on the
+    (N, W) shapes — serves every codeblock geometry up to 64x64.
+
+    Sigma/exponent state is held in *rolling quad-row buffers* (current +
+    previous row, (N, 4*QW_MAX+8) each): the context/predictor
+    neighborhoods (jpeg2000htdec.c:784-919) only ever look one quad-row
+    up, and small carries keep the in-loop dynamic updates cheap.
+
+    Returns (mu, ok): mu uint32 (N, HW_MAX, HW_MAX) sign-magnitude
+    samples (crop to the real height/width on the host side), ok (N,)
+    bool — False where a U bound was violated (invalid stream; the host
+    falls back / rejects).
     """
-    N = data.shape[0]
-    nq = NQ_MAX
+    N = msw.shape[0]
     qw = jnp.asarray(qw, I32)
     qh = jnp.asarray(qh, I32)
-    data = data.astype(jnp.uint8)
     ones = jnp.ones((N,), bool)
+    zeros = jnp.zeros((N,), I32)
 
-    mel = mel_init(pcup, lcup)
-    vlc = vlc_init(data, lcup, pcup)
-    ms = ms_init(data, pcup)
+    mel_st = (st_init(melw), zeros, zeros, zeros)  # stream, k, run, one
+    vpos = st_init(vlcw)
+    mpos = st_init(msw)
 
-    sigma = jnp.zeros((N, 4 * nq + 8), I32)
-    E = jnp.zeros((N, 4 * nq + 8), I32)
-    mu = jnp.zeros((N, 4 * nq), U32)
+    ROWW = 4 * QW_MAX + 8
+    sig_prev = jnp.zeros((N, ROWW), I32)
+    sig_cur = jnp.zeros((N, ROWW), I32)
+    e_prev = jnp.zeros((N, ROWW), I32)
+    e_cur = jnp.zeros((N, ROWW), I32)
+    # mu rows are laid out with a fixed 4*QW_MAX stride per quad row
+    mu = jnp.zeros((N, 4 * QW_MAX * QH_MAX), U32)
+    murow = jnp.zeros((N, 4 * QW_MAX), U32)
     ok = ones
+    context = zeros
 
-    def sp_to_sigma(sigma, q, sp):
-        for i in range(4):
-            sigma = _set_col(sigma, 4 * q + i, (sp >> i) & 1)
-        return sigma
-
-    def quad_ctx_first(sigma, q):
-        s0 = _get_col(sigma, 4 * q)
-        s1 = _get_col(sigma, 4 * q + 1)
-        s2 = _get_col(sigma, 4 * q + 2)
-        s3 = _get_col(sigma, 4 * q + 3)
+    def quad_ctx_first(sig_cur, col):
+        s0 = _get_col(sig_cur, 4 * col)
+        s1 = _get_col(sig_cur, 4 * col + 1)
+        s2 = _get_col(sig_cur, 4 * col + 2)
+        s3 = _get_col(sig_cur, 4 * col + 3)
         return (s0 | s1) + (s2 << 1) + (s3 << 2)
 
-    # ---- initial row ----
-    context = jnp.zeros((N,), I32)
-    npairs = qw // 2
-    state = (mel, vlc, ms, sigma, E, mu, ok, context)
+    def sp_block(sp):
+        return jnp.stack([(sp >> i) & 1 for i in range(4)], axis=1)
 
+    # ---- initial row ----
     def row0_pair(pi, state):
-        mel, vlc, ms, sigma, E, mu, ok, context = state
-        q = 2 * pi
-        r1, sp1, ek1, e11, mel, vlc = _sig_emb(data, mel, vlc, 0, context,
-                                               ones)
-        sigma = sp_to_sigma(sigma, q, sp1)
-        context = quad_ctx_first(sigma, q)
-        r2, sp2, ek2, e12, mel, vlc = _sig_emb(data, mel, vlc, 0, context,
-                                               ones)
-        sigma = sp_to_sigma(sigma, q + 1, sp2)
-        context = quad_ctx_first(sigma, q + 1)
-        u1, u2, mel, vlc = _quad_pair_u_initial(data, mel, vlc, r1, r2, ones)
+        mel_st, vpos, mpos, sig_cur, e_cur, murow, ok, context = state
+        col = 2 * pi
+        r1, sp1, ek1, e11, mel_st, vpos = _sig_emb(
+            melw, vlcw, mel_st, vpos, 0, context, ones)
+        sig_cur = _set_quad(sig_cur, col, sp_block(sp1))
+        context = quad_ctx_first(sig_cur, col)
+        r2, sp2, ek2, e12, mel_st, vpos = _sig_emb(
+            melw, vlcw, mel_st, vpos, 0, context, ones)
+        sig_cur = _set_quad(sig_cur, col + 1, sp_block(sp2))
+        context = quad_ctx_first(sig_cur, col + 1)
+        u1, u2, mel_st, vpos = _quad_pair_u_initial(
+            melw, vlcw, mel_st, vpos, r1, r2, ones)
         U1 = 1 + u1
         U2 = 1 + u2
         ok = ok & (U1 <= maxbp) & (U2 <= maxbp)
-        E, mu, ms = _recover(data, ms, q, U1, sp1, ek1, e11, pLSB, E, mu,
-                             ones)
-        E, mu, ms = _recover(data, ms, q + 1, U2, sp2, ek2, e12, pLSB, E, mu,
-                             ones)
-        return (mel, vlc, ms, sigma, E, mu, ok, context)
+        mv, ev, mpos = _recover_quad(msw, mpos, U1, sp1, ek1, e11, pLSB,
+                                     ones)
+        murow = _set_quad(murow, col, mv)
+        e_cur = _set_quad(e_cur, col, ev)
+        mv, ev, mpos = _recover_quad(msw, mpos, U2, sp2, ek2, e12, pLSB,
+                                     ones)
+        murow = _set_quad(murow, col + 1, mv)
+        e_cur = _set_quad(e_cur, col + 1, ev)
+        return (mel_st, vpos, mpos, sig_cur, e_cur, murow, ok, context)
 
-    state = jax.lax.fori_loop(0, npairs, row0_pair, state)
+    state0 = (mel_st, vpos, mpos, sig_cur, e_cur, murow, ok, context)
+    state0 = jax.lax.fori_loop(0, qw // 2, row0_pair, state0)
 
     def row0_tail(state):
-        mel, vlc, ms, sigma, E, mu, ok, context = state
-        q = qw - 1
-        r1, sp1, ek1, e11, mel, vlc = _sig_emb(data, mel, vlc, 0, context,
-                                               ones)
-        sigma = sp_to_sigma(sigma, q, sp1)
-        u1, vlc = _u_full(data, vlc, r1 == 1)
+        mel_st, vpos, mpos, sig_cur, e_cur, murow, ok, context = state
+        col = qw - 1
+        r1, sp1, ek1, e11, mel_st, vpos = _sig_emb(
+            melw, vlcw, mel_st, vpos, 0, context, ones)
+        sig_cur = _set_quad(sig_cur, col, sp_block(sp1))
+        u1, vpos = _u_full(vlcw, vpos, r1 == 1)
         U1 = 1 + u1
         ok = ok & (U1 <= maxbp)
-        E, mu, ms = _recover(data, ms, q, U1, sp1, ek1, e11, pLSB, E, mu,
-                             ones)
-        return (mel, vlc, ms, sigma, E, mu, ok, context)
+        mv, ev, mpos = _recover_quad(msw, mpos, U1, sp1, ek1, e11, pLSB,
+                                     ones)
+        murow = _set_quad(murow, col, mv)
+        e_cur = _set_quad(e_cur, col, ev)
+        return (mel_st, vpos, mpos, sig_cur, e_cur, murow, ok, context)
 
-    state = jax.lax.cond(qw % 2 == 1, row0_tail, lambda s: s, state)
-    mel, vlc, ms, sigma, E, mu, ok, context = state
+    state0 = jax.lax.cond(qw % 2 == 1, row0_tail, lambda s: s, state0)
+    mel_st, vpos, mpos, sig_cur, e_cur, murow, ok, context = state0
+    mu = jax.lax.dynamic_update_slice_in_dim(mu, murow, 0, axis=1)
 
     # ---- non-initial rows ----
-    # first/last-column specials become traced masks so the column scan is
-    # a fori_loop (compile cost independent of the quad grid size)
-    def ctx_above(sigma, q, first_col, last_col):
-        c = _get_col(sigma, 4 * (q - qw) + 1)
-        c = c | (_get_col(sigma, 4 * (q - qw) + 3) << 2)
-        nw = _get_col(sigma, jnp.maximum(4 * (q - qw) - 1, 0))
-        w_ = (_get_col(sigma, jnp.maximum(4 * q - 1, 0))
-              | _get_col(sigma, jnp.maximum(4 * q - 2, 0)))
+    # neighborhoods live in the rolling row buffers: quad q's column is
+    # col; N/NE/NW/NF are sig_prev/e_prev at 4*col{+1,+3,-1,+5}; W is
+    # sig_cur at 4*col{-1,-2}
+    def ctx_above(sig_prev, sig_cur, col, first_col, last_col):
+        c = _get_col(sig_prev, 4 * col + 1)
+        c = c | (_get_col(sig_prev, 4 * col + 3) << 2)
+        nw = _get_col(sig_prev, jnp.maximum(4 * col - 1, 0))
+        w_ = (_get_col(sig_cur, jnp.maximum(4 * col - 1, 0))
+              | _get_col(sig_cur, jnp.maximum(4 * col - 2, 0)))
         c = jnp.where(first_col, c, (c | nw) + (w_ << 1))
-        nf = _get_col(sigma, 4 * (q - qw) + 5)
+        nf = _get_col(sig_prev, 4 * col + 5)
         c = jnp.where(last_col, c, c | (nf << 2))
         return c
 
-    def kappa_of(E, q, sp, first_col, last_col):
-        # gamma = popcount(sp) > 1
+    def kappa_of(e_prev, col, sp, first_col, last_col):
         pc = (sp & 1) + ((sp >> 1) & 1) + ((sp >> 2) & 1) + ((sp >> 3) & 1)
         gamma = (pc > 1).astype(I32)
-        e_n = _get_col(E, 4 * (q - qw) + 1)
-        e_ne = _get_col(E, 4 * (q - qw) + 3)
+        e_n = _get_col(e_prev, 4 * col + 1)
+        e_ne = _get_col(e_prev, 4 * col + 3)
         e_nw = jnp.where(first_col, 0,
-                         _get_col(E, jnp.maximum(4 * (q - qw) - 1, 0)))
-        e_nf = jnp.where(last_col, 0, _get_col(E, 4 * (q - qw) + 5))
+                         _get_col(e_prev, jnp.maximum(4 * col - 1, 0)))
+        e_nf = jnp.where(last_col, 0, _get_col(e_prev, 4 * col + 5))
         max_e = jnp.maximum(jnp.maximum(e_nw, e_n), jnp.maximum(e_ne, e_nf))
         return jnp.maximum(1, gamma * (max_e - 1))
 
-    npairs_r = qw // 2
-
-    def rowk_pair(args):
-        row, pi, state = args
-        mel, vlc, ms, sigma, E, mu, ok, context = state
-        q1 = row * qw + 2 * pi
-        q2 = q1 + 1
+    def rowk_pair(pi, state):
+        (mel_st, vpos, mpos, sig_prev, sig_cur, e_prev, e_cur, murow,
+         ok) = state
+        col = 2 * pi
         first1 = pi == 0
-        last2 = 2 * pi + 1 == qw - 1
-        c1 = ctx_above(sigma, q1, first1, False)
-        r1, sp1, ek1, e11, mel, vlc = _sig_emb(data, mel, vlc, 1, c1, ones)
-        sigma = sp_to_sigma(sigma, q1, sp1)
-        c2 = ctx_above(sigma, q2, False, last2)
-        r2, sp2, ek2, e12, mel, vlc = _sig_emb(data, mel, vlc, 1, c2, ones)
-        sigma = sp_to_sigma(sigma, q2, sp2)
-        u1, u2, vlc = _quad_pair_u_noninit(data, vlc, r1, r2, ones)
-        U1 = kappa_of(E, q1, sp1, first1, False) + u1
-        U2 = kappa_of(E, q2, sp2, False, last2) + u2
+        last2 = col + 1 == qw - 1
+        c1 = ctx_above(sig_prev, sig_cur, col, first1, False)
+        r1, sp1, ek1, e11, mel_st, vpos = _sig_emb(
+            melw, vlcw, mel_st, vpos, 1, c1, ones)
+        sig_cur = _set_quad(sig_cur, col, sp_block(sp1))
+        c2 = ctx_above(sig_prev, sig_cur, col + 1, False, last2)
+        r2, sp2, ek2, e12, mel_st, vpos = _sig_emb(
+            melw, vlcw, mel_st, vpos, 1, c2, ones)
+        sig_cur = _set_quad(sig_cur, col + 1, sp_block(sp2))
+        u1, u2, vpos = _quad_pair_u_noninit(vlcw, vpos, r1, r2, ones)
+        U1 = kappa_of(e_prev, col, sp1, first1, False) + u1
+        U2 = kappa_of(e_prev, col + 1, sp2, False, last2) + u2
         ok = ok & (U1 <= maxbp) & (U2 <= maxbp)
-        E, mu, ms = _recover(data, ms, q1, U1, sp1, ek1, e11, pLSB,
-                             E, mu, ones)
-        E, mu, ms = _recover(data, ms, q2, U2, sp2, ek2, e12, pLSB,
-                             E, mu, ones)
-        return (mel, vlc, ms, sigma, E, mu, ok, context)
+        mv, ev, mpos = _recover_quad(msw, mpos, U1, sp1, ek1, e11, pLSB,
+                                     ones)
+        murow = _set_quad(murow, col, mv)
+        e_cur = _set_quad(e_cur, col, ev)
+        mv, ev, mpos = _recover_quad(msw, mpos, U2, sp2, ek2, e12, pLSB,
+                                     ones)
+        murow = _set_quad(murow, col + 1, mv)
+        e_cur = _set_quad(e_cur, col + 1, ev)
+        return (mel_st, vpos, mpos, sig_prev, sig_cur, e_prev, e_cur,
+                murow, ok)
 
-    def row_tail(row, state):
-        mel, vlc, ms, sigma, E, mu, ok, context = state
-        q1 = row * qw + qw - 1
-        c1 = ctx_above(sigma, q1, qw == 1, True)
-        r1, sp1, ek1, e11, mel, vlc = _sig_emb(data, mel, vlc, 1, c1,
-                                               ones)
-        sigma = sp_to_sigma(sigma, q1, sp1)
-        u1, vlc = _u_full(data, vlc, r1 == 1)
-        U1 = kappa_of(E, q1, sp1, qw == 1, True) + u1
+    def row_tail(state):
+        (mel_st, vpos, mpos, sig_prev, sig_cur, e_prev, e_cur, murow,
+         ok) = state
+        col = qw - 1
+        c1 = ctx_above(sig_prev, sig_cur, col, qw == 1, True)
+        r1, sp1, ek1, e11, mel_st, vpos = _sig_emb(
+            melw, vlcw, mel_st, vpos, 1, c1, ones)
+        sig_cur = _set_quad(sig_cur, col, sp_block(sp1))
+        u1, vpos = _u_full(vlcw, vpos, r1 == 1)
+        U1 = kappa_of(e_prev, col, sp1, qw == 1, True) + u1
         ok = ok & (U1 <= maxbp)
-        E, mu, ms = _recover(data, ms, q1, U1, sp1, ek1, e11, pLSB,
-                             E, mu, ones)
-        return (mel, vlc, ms, sigma, E, mu, ok, context)
+        mv, ev, mpos = _recover_quad(msw, mpos, U1, sp1, ek1, e11, pLSB,
+                                     ones)
+        murow = _set_quad(murow, col, mv)
+        e_cur = _set_quad(e_cur, col, ev)
+        return (mel_st, vpos, mpos, sig_prev, sig_cur, e_prev, e_cur,
+                murow, ok)
 
-    def row_body(row, state):
+    def row_body(row, carry):
+        mel_st, vpos, mpos, sig_prev, e_prev, mu, ok = carry
+        sig_cur = jnp.zeros((N, ROWW), I32)
+        e_cur = jnp.zeros((N, ROWW), I32)
+        murow = jnp.zeros((N, 4 * QW_MAX), U32)
+        state = (mel_st, vpos, mpos, sig_prev, sig_cur, e_prev, e_cur,
+                 murow, ok)
         state = jax.lax.fori_loop(
-            0, npairs_r,
-            lambda pi, st: rowk_pair((row, pi, st)), state)
-        state = jax.lax.cond(qw % 2 == 1,
-                             lambda s: row_tail(row, s), lambda s: s, state)
-        return state
+            0, qw // 2, rowk_pair, state)
+        state = jax.lax.cond(qw % 2 == 1, row_tail, lambda s: s, state)
+        (mel_st, vpos, mpos, sig_prev, sig_cur, e_prev, e_cur, murow,
+         ok) = state
+        mu = jax.lax.dynamic_update_slice_in_dim(
+            mu, murow, row * (4 * QW_MAX), axis=1)
+        return (mel_st, vpos, mpos, sig_cur, e_cur, mu, ok)
 
-    state = (mel, vlc, ms, sigma, E, mu, ok, context)
-    state = jax.lax.fori_loop(1, qh, row_body, state)
-    mel, vlc, ms, sigma, E, mu, ok, context = state
+    carry = (mel_st, vpos, mpos, sig_cur, e_cur, mu, ok)
+    carry = jax.lax.fori_loop(1, qh, row_body, carry)
+    mel_st, vpos, mpos, sig_prev, e_prev, mu, ok = carry
 
-    # ---- quad grid -> raster (jpeg2000htdec.c:976-1007) ----
-    # sample (y, x) comes from mu[4*((y//2)*qw + x//2) + ((x%2)<<1 | y%2)];
-    # shared gather indices computed from the traced qw/qh
-    yy = jnp.arange(HW_MAX, dtype=I32)[:, None]
-    xx = jnp.arange(HW_MAX, dtype=I32)[None, :]
-    qidx = (yy >> 1) * qw + (xx >> 1)
-    part = ((xx & 1) << 1) | (yy & 1)
-    valid = (yy < 2 * qh) & (xx < 2 * qw)
-    src = jnp.where(valid, 4 * qidx + part, 0)
-    raster = jnp.take(mu, src.reshape(-1), axis=1)
-    raster = raster.reshape(N, HW_MAX, HW_MAX)
-    raster = jnp.where(valid[None, :, :], raster, jnp.uint32(0))
-    return raster, ok
+    # Return mu in *quad layout* (N, QH_MAX, 4*QW_MAX): sample of quad
+    # (qr, qc), corner i (dy = i&1, dx = i>>1) at [:, qr, 4*qc + i].
+    # The quad->raster permutation (jpeg2000htdec.c:976-1007) is folded
+    # into the consumer's scatter index math — a 2x2-minor-dim transpose
+    # is pathological for the TPU's (8,128) tiling, an index remap in an
+    # existing scatter is free (see models/decoder._compiled_assembly and
+    # quad_to_raster for the host-side view).
+    return mu.reshape(N, QH_MAX, 4 * QW_MAX), ok
+
+
+def quad_to_raster(mu_np: np.ndarray) -> np.ndarray:
+    """Host view of the quad layout as a raster (N, HW_MAX, HW_MAX)."""
+    n = mu_np.shape[0]
+    grid = mu_np.reshape(n, QH_MAX, QW_MAX, 2, 2)
+    return grid.transpose(0, 1, 4, 2, 3).reshape(n, HW_MAX, HW_MAX)
+
+
+def decode_cleanup_bucket(data, lcup, pcup, pLSB, maxbp, qw, qh):
+    """Byte-row front-end kept for tests/compat: prepares streams on host
+    (numpy), runs the word kernel, and rasterizes on host."""
+    data_np = np.asarray(data)
+    lc = np.asarray(lcup)
+    pc = np.asarray(pcup)
+    msw, melw, vlcw = prepare_streams_batch(data_np, lc, pc)
+    mu, ok = decode_cleanup_words(
+        jnp.asarray(msw), jnp.asarray(melw), jnp.asarray(vlcw),
+        jnp.asarray(pLSB), jnp.asarray(maxbp), qw, qh)
+    return quad_to_raster(np.asarray(mu)), ok
