@@ -202,6 +202,12 @@ def prepare_streams_batch(data, lcup, pcup):
     n, l = data.shape
     lcup = np.asarray(lcup, np.int64)
     pcup = np.asarray(pcup, np.int64)
+
+    from ffmpeg_ht_tpu.utils import native
+    res = native.ht_prepare_streams(data, lcup, pcup)
+    if res is not None:
+        return res
+
     cols = np.arange(l)[None, :]
 
     # --- MagSgn: bytes [0, pcup), LSB-first, 0xFF -> next byte 7 bits ---

@@ -1,0 +1,7 @@
+#!/bin/sh
+# Build the native host-runtime library (ctypes-loaded; no pybind11).
+set -e
+cd "$(dirname "$0")"
+CC="${CC:-cc}"
+$CC -O3 -march=native -shared -fPIC -o libffhtnative.so htprep.c
+echo "built native/libffhtnative.so"
