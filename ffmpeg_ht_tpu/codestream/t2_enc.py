@@ -206,18 +206,35 @@ def encode_packet(out: bytearray, rlevel, layno: int, precno: int,
                 e.incl = True
             putnumpasses(bp, layer["npasses"])
 
-            length = layer["data_len"]
-            if layno == nlayers - 1 and layer["cum_passes"]:
-                length += len(e.passes[layer["cum_passes"] - 1].flushed)
-            llen = 0
-            np_log = (layer["npasses"]).bit_length() - 1  # av_log2
-            len_log = length.bit_length() - 1 if length else 0  # av_log2(0)==0
-            if e.lblock + np_log < len_log + 1:
-                llen = len_log + 1 - e.lblock - np_log
-            e.lblock += llen
-            bp.put_bits(1, llen)
-            bp.put_bits(0, 1)
-            bp.put_num(length, e.lblock + np_log)
+            segments = getattr(e, "ht_segments", None)
+            if segments and len(segments) > 1:
+                # HT multi-segment lengths (Cleanup, then SigProp+MagRef):
+                # the decoder reads lblock + av_log2(seg_passes) bits per
+                # segment (t2._decode_lengths HT branch)
+                llen = 0
+                for p_, b_ in segments:
+                    blen = b_.bit_length() if b_ else 1
+                    plog = p_.bit_length() - 1
+                    llen = max(llen, blen - plog - e.lblock)
+                llen = max(llen, 0)
+                e.lblock += llen
+                bp.put_bits(1, llen)
+                bp.put_bits(0, 1)
+                for p_, b_ in segments:
+                    bp.put_num(b_, e.lblock + (p_.bit_length() - 1))
+            else:
+                length = layer["data_len"]
+                if layno == nlayers - 1 and layer["cum_passes"]:
+                    length += len(e.passes[layer["cum_passes"] - 1].flushed)
+                llen = 0
+                np_log = (layer["npasses"]).bit_length() - 1  # av_log2
+                len_log = length.bit_length() - 1 if length else 0
+                if e.lblock + np_log < len_log + 1:
+                    llen = len_log + 1 - e.lblock - np_log
+                e.lblock += llen
+                bp.put_bits(1, llen)
+                bp.put_bits(0, 1)
+                bp.put_num(length, e.lblock + np_log)
 
     bp.flush()
     out.extend(bp.buf)

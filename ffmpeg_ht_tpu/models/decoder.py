@@ -64,12 +64,6 @@ def _supported_on_device(hdr, tiles: List[Tile]) -> bool:
                                 continue
                             if not (cblk.modes & mk.CTSY_HTJ2K_F):
                                 return False
-                            num_rempass = cblk.npasses % 3
-                            num_plhd = (cblk.npasses - num_rempass
-                                        if num_rempass else cblk.npasses - 3)
-                            z_blk = cblk.npasses - num_plhd
-                            if z_blk != 1:
-                                return False  # SigProp/MagRef: host path
     return True
 
 
@@ -147,9 +141,15 @@ def _build_batch(hdr, tiles: List[Tile]):
                             x = cblk.coord[0][0] - band.coord[0][0]
                             y = cblk.coord[1][0] - band.coord[1][0]
                             dest = poff + y * pstride + x
-                            if w * h < _HOST_AREA:
-                                # tiny edge sliver: scalar host decode into
-                                # the prefill buffer
+                            num_rempass = cblk.npasses % 3
+                            num_plhd = (cblk.npasses - num_rempass
+                                        if num_rempass
+                                        else cblk.npasses - 3)
+                            z_blk = cblk.npasses - num_plhd
+                            if w * h < _HOST_AREA or z_blk != 1:
+                                # tiny edge slivers and blocks with
+                                # SigProp/MagRef refinement: scalar host
+                                # decode into the prefill buffer
                                 from ffmpeg_ht_tpu.ops import dequant as dq
                                 from ffmpeg_ht_tpu.ops import ht_dec
                                 t1 = ht_dec.decode_htj2k(

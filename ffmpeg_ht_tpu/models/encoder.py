@@ -345,6 +345,7 @@ def _encode_tile_components(tile: Tile, planes: List[np.ndarray],
 
 def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                        chroma_shift=(0, 0), depth: Optional[int] = None,
+                       refinement: bool = False,
                        **opts) -> bytes:
     """Encode one frame as a reversible HTJ2K (T.814) codestream.
 
@@ -490,6 +491,26 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                                 continue
                             mag = np.abs(blk)
                             sign = (blk < 0).astype(np.int64)
+                            enc3 = None
+                            if refinement and magb >= 2:
+                                enc3 = ht_enc.encode_block_3pass(
+                                    mag, sign, magb - 2)
+                            if enc3 is not None:
+                                # Cleanup + SigProp + MagRef (z_blk = 3)
+                                data3, lcup, lref = enc3
+                                e.nonzerobits = 2  # zerobits = magb - 2
+                                e.npasses = 3
+                                e.ninclpasses = 3
+                                e.data = data3
+                                e.ht_segments = [(1, lcup), (2, lref)]
+                                e.passes = [t1_enc.Pass(rate=len(data3),
+                                                        disto=0, flushed=b"")
+                                            for _ in range(3)]
+                                e.layers = [dict(npasses=3, cum_passes=3,
+                                                 data_start=0,
+                                                 data_len=len(data3),
+                                                 disto=0)]
+                                continue
                             dcup, lcup = ht_enc.encode_cleanup(mag, sign, zbp)
                             e.nonzerobits = magb - zbp  # zerobits tag = zbp
                             e.npasses = 1

@@ -110,6 +110,41 @@ class MELPacker:
         return bytes(self.bytes)
 
 
+class RevPacker:
+    """Backward-growing bit packer for the MagRef segment.
+
+    Same unstuffing rule as VLCPacker but with no Scup nibble: the MagRef
+    reader starts at the last Dref byte whose successor is the forced
+    0xFF byte (ht_dec.decode_magref / jpeg2000htdec.c:1137-1185)."""
+
+    def __init__(self):
+        self.bytes = []
+        self.cur = 0
+        self.nbits = 0
+        self.prev = 0xFF  # forced trailing 0xFF beyond Dref
+
+    def _full(self) -> bool:
+        if self.nbits == 7:
+            return self.prev > 0x8F and (self.cur & 0x7F) == 0x7F
+        return self.nbits == 8
+
+    def bit(self, b: int) -> None:
+        self.cur |= b << self.nbits
+        self.nbits += 1
+        if self._full():
+            self.bytes.append(self.cur)
+            self.prev = self.cur
+            self.cur = 0
+            self.nbits = 0
+
+    def finish(self) -> bytes:
+        if self.nbits > 0:
+            self.bytes.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+        return bytes(reversed(self.bytes))
+
+
 class VLCPacker:
     """Backward-growing VLC packer (inverse of ht_dec._RevBits).
 
@@ -490,3 +525,123 @@ def encode_cleanup(mag: np.ndarray, sign: np.ndarray, zbp: int):
     lcup = len(body)
     assert lcup == pcup + scup
     return bytes(body), lcup
+
+
+# ---------------------------------------------------------------------------
+# SigProp / MagRef encoding (refinement segment, T.814 7.4/7.5)
+# ---------------------------------------------------------------------------
+
+def _encode_stripes_block(sp: MagSgnPacker, i_s, j_s, width, height, stride,
+                          sample_buf, bs, mag, sign, is_causal):
+    """Mirror of ht_dec._process_stripes_block, emitting bits instead of
+    reading them. Newly-significant samples carry |c| == 1."""
+    from ffmpeg_ht_tpu.ops.ht_dec import _REF, _REF_IND, _SCAN, _SIGMA, _calc_mbr
+    for j in range(j_s, j_s + width):
+        for i in range(i_s, i_s + height):
+            causal_cond = 1 if (is_causal == 0 or i != i_s + height - 1) else 0
+            mbr = 0
+            if (bs[(i + 1) * stride + (j + 1)] >> _SIGMA) & 1 == 0:
+                mbr = _calc_mbr(i, j, causal_cond, bs, stride)
+            modify = int(bs[(i + 1) * stride + (j + 1)]) | (1 << _SCAN)
+            if mbr != 0:
+                bit = int(mag[i, j]) & 1  # cleanup-insignificant => |c|<=1
+                sp.put(bit, 1)
+                modify |= 1 << _REF_IND
+                modify |= bit << _REF
+            bs[(i + 1) * stride + (j + 1)] |= modify
+    for j in range(j_s, j_s + width):
+        for i in range(i_s, i_s + height):
+            if (bs[(i + 1) * stride + (j + 1)] >> _REF) & 1:
+                sp.put(int(sign[i, j]), 1)
+
+
+def encode_sigprop(sp: MagSgnPacker, width, height, stride, sample_buf, bs,
+                   mag, sign, is_causal=0) -> None:
+    """Mirror of ht_dec.decode_sigprop (stripe scan driver)."""
+    num_v = height // 4
+    num_h = width // 4
+    i = 0
+    for _ in range(num_v):
+        j = 0
+        for _ in range(num_h):
+            _encode_stripes_block(sp, i, j, 4, 4, stride, sample_buf, bs,
+                                  mag, sign, is_causal)
+            j += 4
+        if width % 4:
+            _encode_stripes_block(sp, i, j, width % 4, 4, stride,
+                                  sample_buf, bs, mag, sign, is_causal)
+        i += 4
+    bh = height % 4
+    j = 0
+    for _ in range(num_h):
+        _encode_stripes_block(sp, i, j, 4, bh, stride, sample_buf, bs,
+                              mag, sign, is_causal)
+        j += 4
+    if width % 4:
+        _encode_stripes_block(sp, i, j, width % 4, bh, stride, sample_buf,
+                              bs, mag, sign, is_causal)
+
+
+def encode_magref(mr: RevPacker, width, height, stride, bs, mag) -> None:
+    """Mirror of ht_dec.decode_magref: LSB of every cleanup-significant
+    sample, in the 4-row stripe column scan order."""
+    from ffmpeg_ht_tpu.ops.ht_dec import _SIGMA
+    num_v = height // 4
+    i_start = 0
+    for _ in range(num_v):
+        for j in range(width):
+            for i in range(i_start, i_start + 4):
+                if (bs[(i + 1) * stride + (j + 1)] >> _SIGMA) & 1:
+                    mr.bit(int(mag[i, j]) & 1)
+        i_start += 4
+    for j in range(width):
+        for i in range(i_start, i_start + height % 4):
+            if (bs[(i + 1) * stride + (j + 1)] >> _SIGMA) & 1:
+                mr.bit(int(mag[i, j]) & 1)
+
+
+def encode_block_3pass(mag: np.ndarray, sign: np.ndarray, zbp: int):
+    """Encode one code-block as Cleanup + SigProp + MagRef (z_blk = 3).
+
+    The cleanup pass carries |c| >> 1 (all magnitude planes but the
+    finest); SigProp adds significance at the finest plane for samples
+    with |c| == 1; MagRef refines the LSB of cleanup-significant samples.
+    Returns (data = Dcup||Dref, lcup, lref). Signal npasses = 3 and
+    zero-bitplanes = zbp where the decoder's pLSB = 30 - zbp positions
+    the cleanup LSB one plane above the dequant LSB (see
+    models/encoder.encode_frame_htj2k refinement mode).
+    """
+    from ffmpeg_ht_tpu.ops import ht_dec
+
+    height, width = mag.shape
+    coarse = mag >> 1
+    dcup, lcup = encode_cleanup(coarse, np.where(coarse > 0, sign, 0), zbp)
+
+    # run the cleanup decoder to obtain the exact block state the
+    # refinement passes start from (sample_buf / block_states)
+    buf = bytearray(dcup)
+    scup = (buf[lcup - 1] << 4) + (buf[lcup - 2] & 0x0F)
+    buf[lcup - 1] = 0xFF
+    buf[lcup - 2] |= 0x0F
+    pLSB = 30 - zbp
+    sample_buf, bs, stride = ht_dec.decode_cleanup(
+        bytes(buf), lcup, lcup - scup, pLSB, width, height, zbp + 1)
+
+    sp = MagSgnPacker()
+    encode_sigprop(sp, width, height, stride, sample_buf, bs, mag, sign)
+
+    # SigProp can only signal samples inside the MBR neighborhood of the
+    # cleanup significance map (jpeg2000htdec.c:1016-1032). An isolated
+    # |c| == 1 sample is unreachable; such blocks must carry the finest
+    # plane in the cleanup instead (caller falls back on None).
+    from ffmpeg_ht_tpu.ops.ht_dec import _REF
+    bs2 = bs.reshape(height + 4, stride)
+    ref = (bs2[1:height + 1, 1:width + 1] >> _REF) & 1
+    need = (mag == 1)
+    if np.any(need & (ref == 0)):
+        return None
+
+    mr = RevPacker()
+    encode_magref(mr, width, height, stride, bs, mag)
+    dref = sp.finish() + mr.finish()
+    return dcup + dref, lcup, len(dref)

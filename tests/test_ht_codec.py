@@ -157,3 +157,49 @@ def test_ht_extremes(ffmpeg):
         data, raw = _frame_case(img)
         assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
                                        "-flags", "+bitexact") == raw
+
+
+# ---------------------------------------------------------------------------
+# refinement passes (Cleanup + SigProp + MagRef, z_blk = 3)
+# ---------------------------------------------------------------------------
+
+def test_ht_3pass_block_roundtrip():
+    from ffmpeg_ht_tpu.ops.ht_enc import encode_block_3pass
+    magb = 8
+    done = 0
+    for _ in range(40):
+        h = int(RNG.integers(2, 33))
+        w = int(RNG.integers(2, 33))
+        mag = RNG.integers(0, 128, (h, w)).astype(np.int64)
+        mag = np.where(RNG.random((h, w)) < RNG.random(), 0, mag)
+        sign = np.where(mag > 0,
+                        RNG.integers(0, 2, (h, w)).astype(np.int64), 0)
+        enc = encode_block_3pass(mag, sign, magb - 2)
+        if enc is None:
+            continue  # isolated |c|==1: legitimately not 3-pass codeable
+        data, lcup, lref = enc
+        out = decode_htj2k(data, 3, magb - 2, [lcup, lref], w, h, magb)
+        v = out.astype(np.int64) & 0xFFFFFFFF
+        got_mag = (v & 0x7FFFFFFF) >> (31 - magb)
+        got_sign = (v >> 31) & 1
+        assert np.array_equal(got_mag, mag)
+        assert np.array_equal(np.where(got_mag > 0, got_sign, 0), sign)
+        done += 1
+    assert done > 10
+
+
+def test_ht_3pass_frame_both_decoders(ffmpeg):
+    img = RNG.integers(0, 256, (64, 64), dtype=np.uint8)
+    data = encode_frame_htj2k(img, refinement=True)
+    assert decode_frame(data, bitexact=True).tobytes() == img.tobytes()
+    assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
+                                   "-flags", "+bitexact") == img.tobytes()
+
+
+def test_ht_3pass_device_path(ffmpeg):
+    """Mixed cleanup-only / 3-pass blocks through the TPU decoder (3-pass
+    blocks take the per-block host prefill path)."""
+    from ffmpeg_ht_tpu.models.decoder import Decoder
+    img = RNG.integers(0, 256, (64, 64), dtype=np.uint8)
+    data = encode_frame_htj2k(img, refinement=True)
+    assert Decoder().decode(data).tobytes() == img.tobytes()
