@@ -349,19 +349,25 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
                 plane = _dwt_decode_traced(plane, b, ndec, mk.DWT53)
             outs.append(plane)
 
-        # inverse MCT (RCT, jpeg2000dsp.c:78-91) + DC shift/clip per tile
+        # inverse MCT (RCT) + DC shift/clip per tile: fused Pallas kernel
+        # (ops/mct_pallas.py, the analog of x86/jpeg2000dsp.asm +
+        # write_frame); interpret mode off-TPU
+        from ffmpeg_ht_tpu.ops.mct_pallas import rct_writeframe
+        interp = jax.default_backend() == "cpu"
         final = []
         for tileno, idxs in enumerate(tci):
             comps = [outs[i] for i in idxs]
-            if mct_flags[tileno] and len(comps) >= 3:
-                # inverse RCT in wraparound int32 (matches ops/mct.rct_int)
-                y0, y1, y2 = comps[0], comps[1], comps[2]
-                g = y0 - ((y2 + y1) >> 2)
-                r = g + y2
-                bl = g + y1
-                comps = [r, g, bl] + comps[3:]
             shift = 1 << (cbps - 1)
-            comps = [jnp.clip(c + shift, 0, (1 << cbps) - 1) for c in comps]
+            if mct_flags[tileno] and len(comps) >= 3 \
+                    and comps[0].shape == comps[1].shape == comps[2].shape:
+                r, g, bl = rct_writeframe(comps[0], comps[1], comps[2],
+                                          cbps, interpret=interp)
+                comps = [r, g, bl] + [
+                    jnp.clip(c + shift, 0, (1 << cbps) - 1)
+                    for c in comps[3:]]
+            else:
+                comps = [jnp.clip(c + shift, 0, (1 << cbps) - 1)
+                         for c in comps]
             final.extend(comps)
         # one packed output buffer: a single (narrow-dtype) fetch replaces
         # one 24ms sync round-trip per plane over the device link
