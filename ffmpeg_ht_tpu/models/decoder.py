@@ -431,6 +431,22 @@ class Decoder:
         geom, packed = self._launch(hdr, tiles)
         return lambda: self._finish(hdr, tiles, geom, packed)
 
+    def decode_stream(self, streams, depth: int = 3):
+        """Pipelined decode of a frame sequence (generator).
+
+        The analog of the reference's frame threads (pthread_frame.c):
+        up to `depth` frames are parsed and dispatched ahead so the
+        device works on frame n while the host parses frame n+1; JAX's
+        async dispatch provides the overlap without extra threads.
+        """
+        inflight = []
+        for data in streams:
+            inflight.append(self.decode_async(data))
+            if len(inflight) >= depth:
+                yield inflight.pop(0)()
+        for fin in inflight:
+            yield fin()
+
     def decode_batch(self, streams) -> List[DecodedFrame]:
         """Decode many same-geometry frames in one device launch.
 

@@ -247,18 +247,28 @@ def prepare_streams_batch(data, lcup, pcup):
     bits, total = _scatter_bits(cur, nbits, inside, False, skip=skip)
     vlcw = _pack_words(bits)
 
-    # one shared pow2 width: fewer kernel executable variants
-    need = max(msw.shape[1], melw.shape[1], vlcw.shape[1], 2) + 2
+    return (_trim_pow2(msw), _trim_pow2(melw), _trim_pow2(vlcw))
+
+
+def _trim_pow2(a: np.ndarray) -> np.ndarray:
+    """Trim trailing all-zero word columns, then pad to a pow2 width.
+
+    Safe because the device reader clamps out-of-range fetches to zero —
+    identical to reading a stored zero word — and per-stream widths keep
+    the host->device upload close to the real content size (the link is
+    the throughput wall on tunneled chips).
+    """
+    n, w0 = a.shape
+    nz = np.nonzero(a.any(axis=0))[0]
+    need = (int(nz[-1]) + 3) if len(nz) else 2
     w = 16
     while w < need:
         w *= 2
-
-    def widen(a):
+    if w >= w0:
         out = np.zeros((n, w), np.uint32)
-        out[:, :a.shape[1]] = a
+        out[:, :w0] = a
         return out
-
-    return widen(msw), widen(melw), widen(vlcw)
+    return np.ascontiguousarray(a[:, :w])
 
 
 def prepare_streams(rows, lcups, pcups):

@@ -74,12 +74,6 @@ def ht_prepare_streams(data: np.ndarray, lcup: np.ndarray,
         w_cap, maxw.ctypes.data)
     if rc != 0:
         return None
-    # shared pow2 width (matches ht_batch.prepare_streams_batch)
-    need = int(maxw[0]) + 2
-    w = 16
-    while w < need:
-        w *= 2
-    w = min(w, w_cap)
-    return (np.ascontiguousarray(msw[:, :w]),
-            np.ascontiguousarray(melw[:, :w]),
-            np.ascontiguousarray(vlcw[:, :w]))
+    # per-stream pow2 widths (matches ht_batch._trim_pow2)
+    from ffmpeg_ht_tpu.ops.ht_batch import _trim_pow2
+    return (_trim_pow2(msw), _trim_pow2(melw), _trim_pow2(vlcw))
