@@ -173,7 +173,9 @@ def _cmd_probe(args) -> int:
         pxf = pf.negotiate(siz, hdr.colour_space, siz.rsiz)
         cod = hdr.codsty[0]
         kind = "htj2k" if (cod.cblk_style & 0x40) else "jpeg2000"
+        from ffmpeg_ht_tpu.codestream.profiles import profile_name
         print(f"codec: {kind}")
+        print(f"profile: {profile_name(siz.rsiz)}")
         print(f"dimensions: {siz.width - siz.x0}x{siz.height - siz.y0}")
         print(f"components: {siz.ncomponents}  depth: {siz.precision}")
         print(f"pix_fmt: {pxf.name}")
