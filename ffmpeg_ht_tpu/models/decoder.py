@@ -35,6 +35,7 @@ from ffmpeg_ht_tpu.codestream.t2 import decode_tile_packets
 from ffmpeg_ht_tpu.models import host_decoder
 from ffmpeg_ht_tpu.models import pixfmt as pf
 from ffmpeg_ht_tpu.models.host_decoder import DecodedFrame
+from ffmpeg_ht_tpu.utils.errors import InvalidData
 from ffmpeg_ht_tpu.utils.log import logger
 
 _LANE_PAD = 8          # lane count rounded up to a multiple of this
@@ -241,6 +242,7 @@ def _bucket_arrays(b: _Bucket):
         istep=vec(b.istep, 32768),
         dest=vec(b.dest, -1),      # -1 -> trash slot
         stride=vec(b.stride, 0),
+        nreal=n,                   # host-side lane count (padding excluded)
     ), n
 
 
@@ -302,7 +304,7 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
 
     planes, borders, ndecs, mct_flags, tci, cbps, total = geom_key
 
-    def assemble(pf_idx, pf_val, mus, bucket_args):
+    def assemble(pf_idx, pf_val, mus, oks, bucket_args):
         # host-decoded slivers arrive as a sparse (idx, val) pair: the
         # dense flat buffer never crosses the host->device link
         flat = jnp.zeros((total + 1,), jnp.int32)
@@ -369,10 +371,19 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
                 comps = [jnp.clip(c + shift, 0, (1 << cbps) - 1)
                          for c in comps]
             final.extend(comps)
+        # validity flag: every real lane's U-bound check must have passed
+        # (padding lanes are masked); shipped as the last element of the
+        # packed buffer so it costs no extra sync round-trip
+        flag = jnp.ones((), bool)
+        for ok, args in zip(oks, bucket_args):
+            valid = jnp.arange(ok.shape[0]) < args["nreal"]
+            flag = flag & jnp.all(ok | ~valid)
+
         # one packed output buffer: a single (narrow-dtype) fetch replaces
         # one 24ms sync round-trip per plane over the device link
         dtype = jnp.uint8 if cbps <= 8 else jnp.uint16
-        return jnp.concatenate([c.astype(dtype).reshape(-1) for c in final])
+        return jnp.concatenate([c.astype(dtype).reshape(-1) for c in final]
+                               + [flag.astype(dtype).reshape(1)])
 
     return jax.jit(assemble)
 
@@ -541,7 +552,9 @@ class Decoder:
             jnp.asarray(np.zeros(1, np.int32))
         mus, oks = _entropy_stage(shapes, bucket_args)
         fn = _compiled_assembly(tuple(shapes), geom_key)
-        buf = np.asarray(fn(pf_idx, pf_val, mus, bucket_args))
+        buf = np.asarray(fn(pf_idx, pf_val, mus, oks, bucket_args))
+        if buf[-1] == 0:
+            raise InvalidData("invalid HT codestream (U bound violated)")
 
         frames = []
         off = 0
@@ -587,7 +600,7 @@ class Decoder:
             jnp.asarray(np.zeros(1, np.int32))
         mus, oks = _entropy_stage(shapes, bucket_args)
         fn = _compiled_assembly(tuple(shapes), geom_key)
-        packed = fn(pf_idx, pf_val, mus, bucket_args)
+        packed = fn(pf_idx, pf_val, mus, oks, bucket_args)
         return geom, packed
 
     def _device_decode(self, hdr, tiles) -> DecodedFrame:
@@ -596,6 +609,8 @@ class Decoder:
 
     def _finish(self, hdr, tiles, geom, packed) -> DecodedFrame:
         buf = np.asarray(packed)
+        if buf[-1] == 0:
+            raise InvalidData("invalid HT codestream (U bound violated)")
         outs = []
         off = 0
         for (o, ph, pw) in geom.planes:
