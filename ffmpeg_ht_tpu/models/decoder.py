@@ -173,7 +173,15 @@ def _build_batch(hdr, tiles: List[Tile]):
                             buf[lcup - 1] = 0xFF
                             buf[lcup - 2] |= 0x0F
                             zbp = cblk.zbp
-                            key = (w, h)
+                            # bucket by shape AND a pow2 stream-length
+                            # class: lanes of similar length pack
+                            # together, keeping the (N, W) upload close
+                            # to the real content size
+                            wc = 16
+                            need = (8 * lcup + 96) // 32
+                            while wc < need:
+                                wc *= 2
+                            key = (w, h, wc)
                             b = buckets.setdefault(key, _Bucket(w, h))
                             b.rows.append(np.frombuffer(bytes(buf),
                                                         np.uint8))
@@ -541,7 +549,7 @@ class Decoder:
         shapes, bucket_args = [], []
         for key in keys:
             args, n = _bucket_arrays(merged[key])
-            w, h = key
+            w, h = key[0], key[1]
             shapes.append((-(-w // 2), -(-h // 2), w, h))
             bucket_args.append({k: jnp.asarray(v) for k, v in args.items()})
 
@@ -583,7 +591,7 @@ class Decoder:
         for key in keys:
             b = buckets[key]
             args, n = _bucket_arrays(b)
-            w, h = key
+            w, h = key[0], key[1]
             qw, qh = -(-w // 2), -(-h // 2)
             shapes.append((qw, qh, w, h))
             bucket_args.append({k: jnp.asarray(v) for k, v in args.items()})
