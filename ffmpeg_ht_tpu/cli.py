@@ -16,6 +16,7 @@ Pipeline parity: fftools/ffmpeg.c transcode + ffmpeg_dec.c packet_decode
 from __future__ import annotations
 
 import argparse
+import os
 import resource
 import sys
 import time
@@ -29,6 +30,13 @@ from ffmpeg_ht_tpu.utils.log import logger
 def _cmd_decode(args) -> int:
     from ffmpeg_ht_tpu.models import host_decoder
     from ffmpeg_ht_tpu.models.decoder import Decoder
+
+    profile_dir = os.environ.get("JXT_PROFILE")
+    if profile_dir:
+        # device-level tracing (the START_TIMER/av_log TRACE analog):
+        # view with tensorboard or xprof
+        import jax
+        jax.profiler.start_trace(profile_dir)
 
     t0 = time.perf_counter()
     u0 = resource.getrusage(resource.RUSAGE_SELF)
@@ -63,6 +71,11 @@ def _cmd_decode(args) -> int:
     else:
         logger.error(f"unknown output format {args.format}")
         return 1
+
+    if profile_dir:
+        import jax
+        jax.profiler.stop_trace()
+        logger.info(f"profile written to {profile_dir}")
 
     if args.benchmark:
         u1 = resource.getrusage(resource.RUSAGE_SELF)

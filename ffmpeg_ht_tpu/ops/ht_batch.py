@@ -24,8 +24,6 @@ Everything is uint32/int32 — no x64 dependency.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,86 +47,6 @@ _UVLC_DROP_NP = tb.UVLC_PREFIX_DROP.astype(np.int32)
 # ---------------------------------------------------------------------------
 # host stream preparation
 # ---------------------------------------------------------------------------
-
-def _pack_bits(bits: np.ndarray) -> np.ndarray:
-    """Dense bit vector -> little-endian uint32 words."""
-    n = len(bits)
-    pad = (-n) % 32
-    if pad:
-        bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
-    w = bits.reshape(-1, 32).astype(np.uint32)
-    return (w << np.arange(32, dtype=np.uint32)).sum(axis=1, dtype=np.uint32)
-
-_BIT_IDX = np.arange(8, dtype=np.uint8)
-
-
-def _unstuff_forward(seg: np.ndarray) -> np.ndarray:
-    """MagSgn/MEL byte payload bits: a byte following 0xFF carries 7 bits
-    (its MSB is a stuffing bit). Returns the dense bit vector, LSB-first
-    per byte (parity: ht_dec._FwdBits / jpeg2000htdec.c:207-221)."""
-    if len(seg) == 0:
-        return np.zeros(0, np.uint8)
-    prev = np.concatenate([[0], seg[:-1]])
-    nbits = np.where(prev == 0xFF, 7, 8).astype(np.int64)
-    offs = np.concatenate([[0], np.cumsum(nbits)[:-1]])
-    total = int(offs[-1] + nbits[-1])
-    out = np.zeros(total, np.uint8)
-    for j in range(8):
-        sel = j < nbits
-        pos = offs[sel] + j
-        out[pos] = (seg[sel] >> j) & 1
-    return out
-
-
-def _unstuff_mel(seg: np.ndarray) -> np.ndarray:
-    """MEL bits are consumed MSB-first within each (7/8-bit) byte."""
-    if len(seg) == 0:
-        return np.zeros(0, np.uint8)
-    prev = np.concatenate([[0], seg[:-1]])
-    nbits = np.where(prev == 0xFF, 7, 8).astype(np.int64)
-    offs = np.concatenate([[0], np.cumsum(nbits)[:-1]])
-    total = int(offs[-1] + nbits[-1])
-    out = np.zeros(total, np.uint8)
-    for j in range(8):
-        sel = j < nbits
-        pos = offs[sel] + j
-        shift = (nbits[sel] - 1 - j)
-        out[pos] = (seg[sel] >> shift) & 1
-    return out
-
-
-def _unstuff_vlc(dcup: np.ndarray, lcup: int, pcup: int) -> np.ndarray:
-    """Backward VLC segment -> dense bit vector in reading order.
-
-    Reading starts at byte lcup-2 and walks down to pcup (and beyond:
-    the reference reads zero bits past the start; dense-array reads past
-    the end return 0 via clamping, matching that slop). Per-byte
-    unstuffing: drop the MSB when the previously-read byte (higher
-    address, after modDcup) exceeds 0x8F and the low 7 bits are all ones
-    (ht_dec._RevBits.refill / jpeg2000htdec.c:145-201). The first byte's
-    low nibble (Scup) is skipped (decoder drops 4; modDcup makes it 0xF
-    for the stuffing test)."""
-    seg = dcup[pcup:lcup].copy()
-    n = len(seg)
-    if n < 2:
-        return np.zeros(0, np.uint8)
-    seg[-1] = 0xFF          # modDcup trailer
-    seg[-2] |= 0x0F         # modDcup Scup nibble
-    rd = seg[::-1]          # reading order: lcup-1 (context only), lcup-2,...
-    # rd[0] is the 0xFF trailer: context for rd[1], carries no payload
-    cur = rd[1:]
-    prev = rd[:-1]
-    stuffed = (prev > 0x8F) & ((cur & 0x7F) == 0x7F)
-    nbits = np.where(stuffed, 7, 8).astype(np.int64)
-    offs = np.concatenate([[0], np.cumsum(nbits)[:-1]])
-    total = int(offs[-1] + nbits[-1])
-    out = np.zeros(total, np.uint8)
-    for j in range(8):
-        sel = j < nbits
-        pos = offs[sel] + j
-        out[pos] = (cur[sel] >> j) & 1
-    return out[4:]          # skip the Scup low nibble
-
 
 _ONES_TAIL = np.ones(64, np.uint8)
 

@@ -1,0 +1,89 @@
+"""FATE-analog golden regression suite.
+
+The reference pins decoder behavior with checked-in framecrc golden files
+over a fixed conformance corpus (tests/fate/jpeg2000.mak,
+tests/ref/fate/jpeg2000dec-*). The ITU corpus isn't redistributable, so
+this suite pins a *deterministic generated corpus* (fixed seeds, our
+encoder — every stream was cross-validated against the reference ffmpeg
+decoder when the goldens were recorded). Any decoder regression shows up
+as a framecrc mismatch without needing the oracle binary.
+
+Regenerate after an intentional behavior change:
+    python tests/test_fate.py --regen
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref")
+
+
+def _corpus():
+    """Deterministic (name, kind, image, encode-options) corpus."""
+    rng = np.random.default_rng(20260816)
+    xx, yy = np.meshgrid(np.arange(96), np.arange(80))
+    smooth = ((xx + yy) * 255 // 176).astype(np.uint8)
+    cases = [
+        ("ht-gray-64", "ht", rng.integers(0, 256, (64, 64), np.uint8), {}),
+        ("ht-gray-odd", "ht",
+         rng.integers(0, 256, (53, 67), np.uint8), {}),
+        ("ht-rgb", "ht", rng.integers(0, 256, (48, 56, 3), np.uint8), {}),
+        ("ht-16bit", "ht",
+         rng.integers(0, 65536, (40, 40)).astype(np.uint16), {}),
+        ("ht-smooth", "ht", smooth, {}),
+        ("ht-3pass", "ht", rng.integers(0, 256, (64, 64), np.uint8),
+         {"refinement": True}),
+        ("ht-tiled", "ht", rng.integers(0, 256, (150, 140), np.uint8),
+         {"tile_width": 64, "tile_height": 64}),
+        ("j2k-53", "t800", rng.integers(0, 256, (64, 64), np.uint8),
+         {"pred": 1}),
+        ("j2k-97int", "t800", rng.integers(0, 256, (64, 64), np.uint8),
+         {"pred": 0}),
+        ("j2k-layers", "t800", rng.integers(0, 256, (64, 64), np.uint8),
+         {"pred": 0, "layer_rates": [8, 4, 2]}),
+    ]
+    return cases
+
+
+def _framecrc(data: bytes) -> str:
+    from ffmpeg_ht_tpu.containers import mux
+    from ffmpeg_ht_tpu.models.host_decoder import decode_frame
+    return mux.framecrc([decode_frame(data, bitexact=True)])
+
+
+def _encode(kind, img, opts):
+    from ffmpeg_ht_tpu.models.encoder import (encode_frame_htj2k,
+                                              encode_frame_t800)
+    if kind == "ht":
+        return encode_frame_htj2k(img, **opts)
+    return encode_frame_t800(img, **opts)
+
+
+@pytest.mark.parametrize("name,kind,img,opts", _corpus(),
+                         ids=[c[0] for c in _corpus()])
+def test_fate_golden(name, kind, img, opts):
+    ref_path = os.path.join(REF_DIR, f"fate-{name}")
+    assert os.path.exists(ref_path), \
+        f"missing golden {ref_path}; run: python tests/test_fate.py --regen"
+    data = _encode(kind, img, opts)
+    assert _framecrc(data) == open(ref_path).read(), \
+        f"framecrc mismatch vs golden for {name}"
+
+
+if __name__ == "__main__":
+    if "--regen" in sys.argv:
+        os.makedirs(REF_DIR, exist_ok=True)
+        for name, kind, img, opts in _corpus():
+            data = _encode(kind, img, opts)
+            out = _framecrc(data)
+            with open(os.path.join(REF_DIR, f"fate-{name}"), "w") as f:
+                f.write(out)
+            print(f"wrote fate-{name}")
+    else:
+        print(__doc__)
