@@ -356,6 +356,12 @@ def encode_cleanup(mag: np.ndarray, sign: np.ndarray, zbp: int):
     jpeg2000htdec.c:605,1263).
     """
     height, width = mag.shape
+
+    from ffmpeg_ht_tpu.utils import native
+    res = native.ht_encode_cleanup(np.asarray(mag), np.asarray(sign), zbp)
+    if res is not None:
+        return res
+
     qw, qh, sigma, v, E = _quad_layout(mag, sign, width, height)
     maxbp = zbp + 1
 

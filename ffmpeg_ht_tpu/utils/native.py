@@ -77,3 +77,81 @@ def ht_prepare_streams(data: np.ndarray, lcup: np.ndarray,
     # per-stream pow2 widths (matches ht_batch._trim_pow2)
     from ffmpeg_ht_tpu.ops.ht_batch import _trim_pow2
     return (_trim_pow2(msw), _trim_pow2(melw), _trim_pow2(vlcw))
+
+
+# ---------------------------------------------------------------------------
+# HT cleanup encoder (native/htenc.c)
+# ---------------------------------------------------------------------------
+
+_ENC_TABLES = None
+
+
+def _enc_tables():
+    """Flatten the inverse CxtVLC tables for the C encoder.
+
+    Layout [tbl][ctx][rho][u_off][cand] of packed uint32
+    (cwd | len<<8 | emb_k<<16 | emb_1<<20 | valid<<24); candidate order
+    matches ht_enc._pick_entry's iteration order (code ascending) so the
+    C tie-breaking selects the identical entry.
+    """
+    global _ENC_TABLES
+    if _ENC_TABLES is not None:
+        return _ENC_TABLES
+    from ffmpeg_ht_tpu.ops.ht_enc import (_inverse_cxtvlc,
+                                          _uvlc_prefix_codes)
+    CAND = 16
+    flat = np.zeros((2, 8, 16, 2, CAND), np.uint32)
+    counts = np.zeros((2, 8, 16, 2), np.int32)
+    for tbl in (0, 1):
+        inv = _inverse_cxtvlc(tbl)
+        for (ctx, r, sp, ek, e1), (cwd, ln) in inv.items():
+            c = counts[tbl, ctx, sp, r]
+            if c >= CAND:
+                continue
+            flat[tbl, ctx, sp, r, c] = (cwd | (ln << 8) | (ek << 16)
+                                        | (e1 << 20) | (1 << 24))
+            counts[tbl, ctx, sp, r] = c + 1
+    pcodes = _uvlc_prefix_codes()
+    pfx_bits = np.zeros(6, np.int32)
+    pfx_nb = np.zeros(6, np.int32)
+    for val, (bits, nb) in pcodes.items():
+        if val < 6:
+            pfx_bits[val] = bits
+            pfx_nb[val] = nb
+    _ENC_TABLES = (np.ascontiguousarray(flat.reshape(-1)), pfx_bits, pfx_nb)
+    return _ENC_TABLES
+
+
+def _bind_encoder(lib):
+    if getattr(lib, "_enc_bound", False):
+        return
+    lib.ht_encode_cleanup.restype = ctypes.c_int64
+    lib.ht_encode_cleanup.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib._enc_bound = True
+
+
+def ht_encode_cleanup(mag: np.ndarray, sign: np.ndarray, zbp: int):
+    """Native cleanup encode; returns (dcup bytes, lcup) or None."""
+    lib = load()
+    if lib is None or not hasattr(lib, "ht_encode_cleanup"):
+        return None
+    _bind_encoder(lib)
+    inv, pfx_bits, pfx_nb = _enc_tables()
+    h, w = mag.shape
+    mag = np.ascontiguousarray(mag, np.int64)
+    sign = np.ascontiguousarray(sign, np.int64)
+    cap = 8 * w * h + 80
+    out = np.zeros(cap + 64, np.uint8)
+    scratch = np.zeros(3 * cap, np.uint8)
+    lcup = lib.ht_encode_cleanup(
+        mag.ctypes.data, sign.ctypes.data, w, h, zbp,
+        inv.ctypes.data, pfx_bits.ctypes.data, pfx_nb.ctypes.data,
+        out.ctypes.data, scratch.ctypes.data)
+    if lcup < 0:
+        return None
+    return bytes(out[:lcup]), int(lcup)

@@ -203,3 +203,29 @@ def test_ht_3pass_device_path(ffmpeg):
     img = RNG.integers(0, 256, (64, 64), dtype=np.uint8)
     data = encode_frame_htj2k(img, refinement=True)
     assert Decoder().decode(data).tobytes() == img.tobytes()
+
+
+def test_native_encoder_matches_python():
+    """native/htenc.c must emit byte-identical cleanup segments."""
+    from ffmpeg_ht_tpu.utils import native as NV
+    if NV.load() is None or not hasattr(NV.load(), "ht_encode_cleanup"):
+        pytest.skip("native library unavailable")
+    from ffmpeg_ht_tpu.ops import ht_enc
+    for _ in range(20):
+        h = int(RNG.integers(1, 65))
+        w = int(RNG.integers(1, 65))
+        if w * h > 4096:
+            continue
+        mag = RNG.integers(0, 128, (h, w)).astype(np.int64)
+        mag = np.where(RNG.random((h, w)) < RNG.random(), 0, mag)
+        sign = RNG.integers(0, 2, (h, w)).astype(np.int64)
+        nat = NV.ht_encode_cleanup(mag, sign, 7)
+        assert nat is not None
+        save = NV._LIB
+        NV._LIB = None
+        NV._TRIED = True
+        try:
+            py = ht_enc.encode_cleanup(mag, sign, 7)
+        finally:
+            NV._LIB = save
+        assert nat == py
