@@ -229,3 +229,16 @@ def test_native_encoder_matches_python():
         finally:
             NV._LIB = save
         assert nat == py
+
+
+def test_ht_10bit_444_parity(ffmpeg):
+    """3-component 10-bit: output is rgb48le with depth scaling, exactly
+    as the reference negotiates it (jpeg2000dec.c:197-422)."""
+    planes = [RNG.integers(0, 1024, (64, 64)).astype(np.uint16)
+              for _ in range(3)]
+    data = encode_frame_htj2k(planes, chroma_shift=(0, 0), depth=10)
+    ours = decode_frame(data, bitexact=True)
+    assert ours.fmt.name == "rgb48le"
+    ref = ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
+                                  "-flags", "+bitexact")
+    assert ours.tobytes() == ref
