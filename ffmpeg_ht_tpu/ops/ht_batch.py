@@ -270,7 +270,23 @@ def st_get(words, st, n, active):
 # ---------------------------------------------------------------------------
 
 def mel_sym(melw, st, active):
-    """One MEL symbol for active lanes. st = (stream, k, run, one)."""
+    """One MEL symbol for active lanes. st = (stream, k, run, one).
+
+    The whole symbol machine is cond-skipped when no lane is active
+    (common in non-initial rows where quad contexts are rarely zero)."""
+    def skip(args):
+        st, active = args
+        return jnp.zeros(active.shape, I32), st
+
+    def run_it(args):
+        st, active = args
+        sym, st = _mel_sym_impl(melw, st, active)
+        return sym.astype(I32), st  # pin dtype for x64 mode
+
+    return jax.lax.cond(jnp.any(active), run_it, skip, (st, active))
+
+
+def _mel_sym_impl(melw, st, active):
     sst, k, run, one = st
     mel_e = jnp.asarray(_MEL_E_NP)
     fresh = active & (run == 0) & (one == 0)
@@ -336,6 +352,21 @@ def _u_full(vlcw, vst, active):
     s, vst = _u_suffix(vlcw, vst, p, active)
     e, vst = _u_extension(vlcw, vst, s, active)
     return jnp.where(active, p + s + 4 * e, 0), vst
+
+
+def _u_full_cond(vlcw, vst, active):
+    """_u_full cond-skipped when no lane is active (single-res_off u
+    reads are rare in dense content)."""
+    def skip(args):
+        vst, active = args
+        return jnp.zeros(active.shape, I32), vst
+
+    def run_it(args):
+        vst, active = args
+        u, vst = _u_full(vlcw, vst, active)
+        return u.astype(I32), vst  # pin dtype for x64 mode
+
+    return jax.lax.cond(jnp.any(active), run_it, skip, (vst, active))
 
 
 # ---------------------------------------------------------------------------
@@ -435,8 +466,8 @@ def _quad_pair_u_initial(melw, vlcw, mel_st, vst, r1, r2, active):
     u1_pair = jnp.where(mel1, 2 + p1 + s1 + 4 * e1x,
                         jnp.where(big, bit + 1, p1 + s1 + 4 * e1x))
 
-    uo1, vst = _u_full(vlcw, vst, only1)
-    uo2, vst = _u_full(vlcw, vst, only2)
+    uo1, vst = _u_full_cond(vlcw, vst, only1)
+    uo2, vst = _u_full_cond(vlcw, vst, only2)
 
     u1 = jnp.where(both, u0_pair, jnp.where(only1, uo1, 0))
     u2 = jnp.where(both, u1_pair, jnp.where(only2, uo2, 0))
@@ -454,8 +485,8 @@ def _quad_pair_u_noninit(vlcw, vst, r1, r2, active):
     s1, vst = _u_suffix(vlcw, vst, p1, both)
     e0, vst = _u_extension(vlcw, vst, s0, both)
     e1x, vst = _u_extension(vlcw, vst, s1, both)
-    uo1, vst = _u_full(vlcw, vst, only1)
-    uo2, vst = _u_full(vlcw, vst, only2)
+    uo1, vst = _u_full_cond(vlcw, vst, only1)
+    uo2, vst = _u_full_cond(vlcw, vst, only2)
     u1 = jnp.where(both, p0 + s0 + (e0 << 2), jnp.where(only1, uo1, 0))
     u2 = jnp.where(both, p1 + s1 + (e1x << 2), jnp.where(only2, uo2, 0))
     return u1, u2, vst
