@@ -256,8 +256,13 @@ def encode_packet(out: bytearray, rlevel, layno: int, precno: int,
 
 
 def encode_packets(out: bytearray, tile: Tile, nlayers: int, prog: int,
-                   sop: bool, eph: bool, chroma_shift=(0, 0)) -> None:
-    """All packets of one tile in progression order (j2kenc.c:940-1166)."""
+                   sop: bool, eph: bool, chroma_shift=(0, 0),
+                   boundaries=None) -> None:
+    """All packets of one tile in progression order (j2kenc.c:940-1166).
+
+    `boundaries`, when given, collects the byte offset after every packet
+    — the legal tile-part split points (a packet may not straddle
+    tile-parts, T.800 A.4.2)."""
     codsty = tile.codsty[0]
     qntsty_of = lambda compno: tile.qntsty[compno]
     ncomponents = len(tile.comp)
@@ -275,6 +280,8 @@ def encode_packets(out: bytearray, tile: Tile, nlayers: int, prog: int,
         encode_packet(out, rlevel, layno, precno, expn, ngb, packetno,
                       nlayers, sop, eph)
         packetno += 1
+        if boundaries is not None:
+            boundaries.append(len(out))
 
     if prog == mk.PGOD_LRCP:
         for layno in range(nlayers):

@@ -65,6 +65,7 @@ class EncoderConfig:
     nreslevels: int = 7
     log2_cblk_width: int = 4
     log2_cblk_height: int = 4
+    tp_interval: int = 0   # packets per tile-part (0 = one tile-part)
 
 
 def _init_quantization(codsty: CodingStyle, qntsty: QuantStyle,
@@ -523,18 +524,39 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                                              disto=0)]
 
         body = bytearray()
+        bnds = [] if cfg.tp_interval else None
         encode_packets(body, tile, 1, _PROG[cfg.prog],
-                       cfg.sop, cfg.eph, chroma_shift)
-        psot = 12 + 2 + len(body)
-        out.extend(_be16(mk.SOT) + _be16(10) + _be16(tileno))
-        out.extend(_be32(psot))
-        out.append(0)
-        out.append(1)
-        out.extend(_be16(mk.SOD))
-        out.extend(body)
+                       cfg.sop, cfg.eph, chroma_shift, boundaries=bnds)
+        _emit_tile_parts(out, tileno, bytes(body), bnds, cfg.tp_interval)
 
     out.extend(_be16(mk.EOC))
     return bytes(out)
+
+
+
+def _emit_tile_parts(out: bytearray, tileno: int, body: bytes,
+                     boundaries, tp_interval: int) -> None:
+    """Emit one tile's body as one or more tile-parts.
+
+    Splits at packet boundaries only (a packet may not straddle
+    tile-parts, T.800 A.4.2); TPsot/TNsot per SOT (A.4.2)."""
+    cuts = [0]
+    if tp_interval and boundaries:
+        for i in range(tp_interval, len(boundaries), tp_interval):
+            if boundaries[i - 1] not in cuts:
+                cuts.append(boundaries[i - 1])
+    if cuts[-1] != len(body):
+        cuts.append(len(body))
+    nparts = len(cuts) - 1
+    for tp in range(nparts):
+        seg = body[cuts[tp]:cuts[tp + 1]]
+        psot = 12 + 2 + len(seg)
+        out.extend(_be16(mk.SOT) + _be16(10) + _be16(tileno))
+        out.extend(_be32(psot))
+        out.append(tp)        # TPsot
+        out.append(nparts)    # TNsot
+        out.extend(_be16(mk.SOD))
+        out.extend(seg)
 
 
 def _put_cod_ht(out: bytearray, cfg: EncoderConfig, codsty: CodingStyle,
@@ -653,15 +675,10 @@ def encode_frame_t800(img: Union[np.ndarray, Sequence[np.ndarray]],
             _truncpasses(tile, codsty, cfg.quality * QP2LAMBDA * LAMBDA_SCALE)
 
         body = bytearray()
+        bnds = [] if cfg.tp_interval else None
         encode_packets(body, tile, nlayers, _PROG[cfg.prog],
-                       cfg.sop, cfg.eph, chroma_shift)
-        psot = 12 + 2 + len(body)  # SOT seg (12) + SOD marker + body
-        out.extend(_be16(mk.SOT) + _be16(10) + _be16(tileno))
-        out.extend(_be32(psot))
-        out.append(0)  # TPsot
-        out.append(1)  # TNsot
-        out.extend(_be16(mk.SOD))
-        out.extend(body)
+                       cfg.sop, cfg.eph, chroma_shift, boundaries=bnds)
+        _emit_tile_parts(out, tileno, bytes(body), bnds, cfg.tp_interval)
 
     out.extend(_be16(mk.EOC))
 

@@ -126,3 +126,20 @@ def test_cli_lowres(tmp_path):
     half = decode_frame(data, bitexact=True, reduction_factor=1)
     assert (half.width, half.height) == (32, 32)
     assert full.width == 64
+
+
+def test_multi_tile_part(ffmpeg, tmp_path):
+    """Tile bodies split across tile-parts at packet boundaries
+    (TPsot/TNsot, T.800 A.4.2) decode identically everywhere."""
+    img = RNG.integers(0, 256, (64, 64), dtype=np.uint8)
+    for data in (encode_frame_htj2k(img, tp_interval=3),
+                 encode_frame_t800(img, pred=1, tp_interval=2)):
+        assert data.count(b"\xff\x90") >= 2  # really multi-part
+        assert decode_frame(data, bitexact=True).tobytes() == img.tobytes()
+        p = tmp_path / "tp.j2k"
+        p.write_bytes(data)
+        r = subprocess.run(
+            [ffmpeg, "-loglevel", "error", "-flags", "+bitexact",
+             "-i", str(p), "-f", "rawvideo", "-"],
+            check=True, capture_output=True)
+        assert r.stdout == img.tobytes()
