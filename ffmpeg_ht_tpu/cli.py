@@ -131,7 +131,7 @@ def _cmd_encode(args) -> int:
     nframes = len(img) // frame_px
     opts = dict(pred=args.pred, prog=args.prog,
                 tile_width=args.tile_width, tile_height=args.tile_height,
-                sop=args.sop, eph=args.eph)
+                sop=args.sop, eph=args.eph, tp_interval=args.tp_interval)
     if args.layer_rates:
         opts["layer_rates"] = [int(x) for x in args.layer_rates.split(",")]
     if args.quality:
@@ -251,6 +251,8 @@ def main(argv=None) -> int:
     e.add_argument("--sop", action="store_true")
     e.add_argument("--eph", action="store_true")
     e.add_argument("--layer-rates", default=None)
+    e.add_argument("--tp-interval", type=int, default=0,
+                   help="packets per tile-part (0 = single tile-part)")
     e.add_argument("-q", "--quality", type=int, default=0)
     e.add_argument("--jp2", action="store_true")
     e.set_defaults(func=_cmd_encode)
