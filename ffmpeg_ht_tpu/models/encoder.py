@@ -530,7 +530,26 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
         _emit_tile_parts(out, tileno, bytes(body), bnds, cfg.tp_interval)
 
     out.extend(_be16(mk.EOC))
+    if cfg.jp2:
+        # JPH file format (Rec. ITU-T T.815): JP2 boxes, 'jph ' brand
+        return _jph_wrap(bytes(out), siz, cbps)
     return bytes(out)
+
+
+def _jph_wrap(codestream: bytes, siz: SIZ, cbps: int) -> bytes:
+    """Minimal JPH wrapping (T.815: JP2 box structure, ftyp 'jph ')."""
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return _be32(8 + len(payload)) + tag + payload
+
+    sig = _be32(12) + b"jP\x20\x20" + _be32(0x0D0A870A)
+    ftyp = box(b"ftyp", b"jph\x20" + _be32(0) + b"jph\x20")
+    ihdr = box(b"ihdr", _be32(siz.height) + _be32(siz.width)
+               + _be16(siz.ncomponents) + bytes([cbps, 7, 0, 0]))
+    colr_code = 17 if siz.ncomponents == 1 else 16
+    colr_box = box(b"colr", bytes([1, 0, 0]) + _be32(colr_code))
+    jp2h = box(b"jp2h", ihdr + colr_box)
+    jp2c = box(b"jp2c", codestream)
+    return sig + ftyp + jp2h + jp2c
 
 
 

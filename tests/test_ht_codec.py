@@ -242,3 +242,21 @@ def test_ht_10bit_444_parity(ffmpeg):
     ref = ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
                                   "-flags", "+bitexact")
     assert ours.tobytes() == ref
+
+
+def test_jph_file_format(ffmpeg, tmp_path):
+    """JPH (T.815) wrapping: JP2 box structure with the 'jph ' brand."""
+    img = RNG.integers(0, 256, (64, 64), dtype=np.uint8)
+    data = encode_frame_htj2k(img, jp2=True)
+    assert data[4:8] == b"jP\x20\x20" and b"jph\x20" in data[:40]
+    assert decode_frame(data, bitexact=True).tobytes() == img.tobytes()
+    # the reference decodes it when routed to its JPEG 2000 pipe demuxer
+    # (ffmpeg has no .jph extension mapping, SURVEY.md §2.3)
+    p = tmp_path / "f.jph"
+    p.write_bytes(data)
+    import subprocess
+    r = subprocess.run(
+        [ffmpeg, "-loglevel", "error", "-flags", "+bitexact",
+         "-f", "j2k_pipe", "-i", str(p), "-f", "rawvideo", "-"],
+        check=True, capture_output=True)
+    assert r.stdout == img.tobytes()
