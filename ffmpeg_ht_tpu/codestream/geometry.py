@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 from ffmpeg_ht_tpu.codestream import markers as mk
 from ffmpeg_ht_tpu.codestream.structures import (CodingStyle, MainHeader,

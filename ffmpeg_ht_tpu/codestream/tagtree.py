@@ -8,7 +8,6 @@ flat list of levels rather than parent pointers.
 from __future__ import annotations
 
 from ffmpeg_ht_tpu.codestream.bitio import PacketBitReader
-from ffmpeg_ht_tpu.utils.errors import InvalidData
 
 
 class TagTree:

@@ -12,7 +12,7 @@ from __future__ import annotations
 import glob
 import os
 import re
-from typing import Iterator, List
+from typing import Iterator
 
 from ffmpeg_ht_tpu.containers import mov
 from ffmpeg_ht_tpu.containers.frame_parser import split_frames

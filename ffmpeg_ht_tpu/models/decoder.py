@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -39,7 +39,6 @@ from ffmpeg_ht_tpu.utils.errors import InvalidData
 from ffmpeg_ht_tpu.utils.log import logger
 
 _LANE_PAD = 8          # lane count rounded up to a multiple of this
-_LMAX_QUANT = 64       # byte-row length rounded up to a multiple of this
 _HOST_AREA = 64        # codeblocks smaller than this decode on host (edge
                        # slivers; keeps the per-geometry bucket count low)
 

@@ -14,13 +14,13 @@ encoder emits exactly the grid the decoder reconstructs.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Union
 
 import numpy as np
 
 from ffmpeg_ht_tpu.codestream import markers as mk
-from ffmpeg_ht_tpu.codestream.geometry import Tile, ceildiv, init_tile
+from ffmpeg_ht_tpu.codestream.geometry import Tile, init_tile
 from ffmpeg_ht_tpu.codestream.structures import (CodingStyle, ComponentInfo,
                                                  MainHeader, QuantStyle, SIZ,
                                                  TileHeader)

@@ -23,7 +23,7 @@ from ffmpeg_ht_tpu.models import pixfmt as pf
 from ffmpeg_ht_tpu.ops import dequant as dq
 from ffmpeg_ht_tpu.ops import dwt as dwtmod
 from ffmpeg_ht_tpu.ops import ebcot, ht_dec, mct
-from ffmpeg_ht_tpu.utils.errors import InvalidData, PatchWelcome
+from ffmpeg_ht_tpu.utils.errors import PatchWelcome
 from ffmpeg_ht_tpu.utils.log import logger
 
 

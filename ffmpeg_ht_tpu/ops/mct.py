@@ -59,7 +59,7 @@ def rct_int(y0: np.ndarray, y1: np.ndarray, y2: np.ndarray):
 
 def mct_decode(transform: int, c0, c1, c2):
     """Dispatch by DWT type (jpeg2000dsp.c:93-98 / jpeg2000dec.c:2183-2209)."""
-    from ffmpeg_ht_tpu.ops.dwt import DWT53, DWT97, DWT97_INT
+    from ffmpeg_ht_tpu.ops.dwt import DWT97, DWT97_INT
     if transform == DWT97:
         return ict_float(c0, c1, c2)
     if transform == DWT97_INT:
