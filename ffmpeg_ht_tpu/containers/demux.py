@@ -14,7 +14,7 @@ import os
 import re
 from typing import Iterator
 
-from ffmpeg_ht_tpu.containers import mov
+from ffmpeg_ht_tpu.containers import mov, mxf
 from ffmpeg_ht_tpu.containers.frame_parser import split_frames
 
 _JP2_SIG = b"\x00\x00\x00\x0cjP\x20\x20\x0d\x0a\x87\x0a"
@@ -32,6 +32,8 @@ def probe_bytes(data: bytes) -> str:
         return "j2k"
     if mov.probe_mov(data):
         return "mov"
+    if mxf.probe_mxf(data):
+        return "mxf"
     return "unknown"
 
 
@@ -63,6 +65,8 @@ def demux_bytes(data: bytes) -> Iterator[bytes]:
     fmt = probe_bytes(data)
     if fmt == "mov":
         yield from mov.demux_mov(data)
+    elif fmt == "mxf":
+        yield from mxf.demux_mxf(data)
     elif fmt in ("j2k", "jp2"):
         frames = split_frames(data)
         if frames:

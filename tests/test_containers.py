@@ -90,6 +90,27 @@ def test_mj2_roundtrip_and_reference_demux(ffmpeg, tmp_path):
     assert r.stdout == b"".join(i.tobytes() for i in imgs)
 
 
+def test_mxf_demux_reference_muxed(ffmpeg, tmp_path):
+    """Demux an MXF written by the reference muxer (mxfenc.c JPEG2000
+    essence) and decode the frames losslessly."""
+    imgs = [RNG.integers(0, 256, (64, 64), dtype=np.uint8)
+            for _ in range(3)]
+    raw = tmp_path / "m.raw"
+    raw.write_bytes(b"".join(i.tobytes() for i in imgs))
+    p = tmp_path / "m.mxf"
+    subprocess.run(
+        [ffmpeg, "-y", "-loglevel", "error", "-f", "rawvideo",
+         "-pix_fmt", "gray", "-s", "64x64", "-r", "25", "-i", str(raw),
+         "-c:v", "jpeg2000", "-pred", "1", "-f", "mxf", str(p)],
+        check=True)
+    data = p.read_bytes()
+    assert demux.probe_bytes(data) == "mxf"
+    frames = list(demux.demux_bytes(data))
+    assert len(frames) == 3
+    for f, img in zip(frames, imgs):
+        assert decode_frame(f, bitexact=True).tobytes() == img.tobytes()
+
+
 def test_cli_decode_encode_probe(tmp_path, capsys):
     img = RNG.integers(0, 256, (48, 40), dtype=np.uint8)
     raw = tmp_path / "in.raw"
