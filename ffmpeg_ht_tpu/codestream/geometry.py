@@ -284,6 +284,14 @@ def init_tile(hdr: MainHeader, tileno: int) -> Tile:
           [clip(tiley * siz.tile_height + siz.ty0, siz.y0, siz.height),
            clip((tiley + 1) * siz.tile_height + siz.ty0, siz.y0, siz.height)]]
 
+    if len(th.codsty) != len(siz.components) or \
+            len(th.qntsty) != len(siz.components):
+        # styles are copied from the main header only on the TPsot==0
+        # tile-part (parser._get_sot); a stream whose first tile-part is
+        # missing/corrupt leaves them unset (jpeg2000dec.c guards this
+        # via the zeroed tile and the !codsty->init check)
+        raise InvalidData("Tile without a first tile-part (no COD/QCD)")
+
     comps = []
     for compno, cinfo in enumerate(siz.components):
         codsty = th.codsty[compno]

@@ -50,3 +50,16 @@ def test_bitflips_never_crash():
             decode_frame(bytes(mutated))
         except J2KError:
             pass
+
+
+def test_missing_first_tile_part_rejected():
+    """A corrupt TPsot on the only tile-part leaves the tile without
+    COD/QCD; must be a typed rejection (found by fuzzing; the reference
+    fails the same stream with AVERROR_INVALIDDATA)."""
+    data = bytearray(_sample())
+    sot = data.index(b"\xff\x90")
+    tpsot = sot + 10  # SOT: marker(2) Lsot(2) Isot(2) Psot(4) TPsot(1)
+    assert data[tpsot] == 0
+    data[tpsot] = 1
+    with pytest.raises(J2KError):
+        decode_frame(bytes(data))
