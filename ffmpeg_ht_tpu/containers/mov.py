@@ -86,12 +86,28 @@ def demux_mov(data: bytes) -> Iterator[bytes]:
         return
 
 
+def _table_count(declared: int, avail: int, entry: int) -> int:
+    """Clamp a sample-table entry count to what its box can hold.
+
+    Counts are untrusted 32-bit fields; without the clamp a corrupt
+    count allocates a multi-GB list (mov.c bounds entries against the
+    remaining atom size the same way)."""
+    if declared > avail // entry:
+        raise ValueError("sample table overruns its box")
+    return declared
+
+
 def _read_stsz(data, s, e) -> Optional[List[int]]:
     for ss, se in _find(data, s, e, b"stsz"):
         fixed = int.from_bytes(data[ss + 4:ss + 8], "big")
         count = int.from_bytes(data[ss + 8:ss + 12], "big")
         if fixed:
+            # no table follows; bound the implied sample count by the
+            # file itself so a corrupt count cannot blow up the caller
+            if count > len(data):
+                raise ValueError("stsz sample count exceeds file size")
             return [fixed] * count
+        count = _table_count(count, max(se - ss - 12, 0), 4)
         return [int.from_bytes(data[ss + 12 + 4 * i:ss + 16 + 4 * i], "big")
                 for i in range(count)]
     return None
@@ -100,10 +116,12 @@ def _read_stsz(data, s, e) -> Optional[List[int]]:
 def _read_chunk_offsets(data, s, e) -> List[int]:
     for ss, se in _find(data, s, e, b"stco"):
         count = int.from_bytes(data[ss + 4:ss + 8], "big")
+        count = _table_count(count, max(se - ss - 8, 0), 4)
         return [int.from_bytes(data[ss + 8 + 4 * i:ss + 12 + 4 * i], "big")
                 for i in range(count)]
     for ss, se in _find(data, s, e, b"co64"):
         count = int.from_bytes(data[ss + 4:ss + 8], "big")
+        count = _table_count(count, max(se - ss - 8, 0), 8)
         return [int.from_bytes(data[ss + 8 + 8 * i:ss + 16 + 8 * i], "big")
                 for i in range(count)]
     return []
@@ -112,6 +130,7 @@ def _read_chunk_offsets(data, s, e) -> List[int]:
 def _read_stsc(data, s, e) -> List[Tuple[int, int]]:
     for ss, se in _find(data, s, e, b"stsc"):
         count = int.from_bytes(data[ss + 4:ss + 8], "big")
+        count = _table_count(count, max(se - ss - 8, 0), 12)
         out = []
         for i in range(count):
             base = ss + 8 + 12 * i

@@ -164,3 +164,22 @@ def test_multi_tile_part(ffmpeg, tmp_path):
              "-i", str(p), "-f", "rawvideo", "-"],
             check=True, capture_output=True)
         assert r.stdout == img.tobytes()
+
+
+def test_corrupt_sample_tables_bounded():
+    """Bitflipped stsz/stco/stsc counts must not allocate huge tables or
+    hang (found by container fuzzing); a table overrunning its box is a
+    typed ValueError, mirroring mov.c's atom-size bounds."""
+    img = RNG.integers(0, 256, (32, 32), dtype=np.uint8)
+    j2k = encode_frame_htj2k(img)
+    mj2 = bytearray(mux_mj2([j2k] * 3, 32, 32))
+    for tag in (b"stsz", b"stco", b"stsc"):
+        m = bytearray(mj2)
+        p = m.index(tag)
+        # entry-count field: stsz at tag+8 (after sample_size), others tag+8
+        cnt = p + (12 if tag == b"stsz" else 8)
+        m[cnt:cnt + 4] = b"\x7f\xff\xff\xff"
+        try:
+            list(demux_mov(bytes(m)))
+        except ValueError:
+            pass
