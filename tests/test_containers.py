@@ -109,6 +109,9 @@ def test_mxf_demux_reference_muxed(ffmpeg, tmp_path):
     assert len(frames) == 3
     for f, img in zip(frames, imgs):
         assert decode_frame(f, bitexact=True).tobytes() == img.tobytes()
+    # multi-frame framecrc (pts/duration columns) matches the reference
+    decoded = [decode_frame(f, bitexact=True) for f in frames]
+    assert mux.framecrc(decoded) == _ff_out(ffmpeg, str(p), "framecrc")
 
 
 def test_cli_decode_encode_probe(tmp_path, capsys):
