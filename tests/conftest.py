@@ -6,7 +6,11 @@ bench.py and the driver's compile checks.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the axon sitecustomize exports JAX_PLATFORMS=axon
+# into every process, so a setdefault silently leaves tests on the tunneled
+# TPU backend. The jax.config.update below is the authoritative override
+# (axon's register() wins over the env var otherwise).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +23,7 @@ import pytest
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 FFMPEG = "/root/repo/third_party/ffmpeg-build/ffmpeg"
