@@ -158,11 +158,13 @@ def _cmd_encode(args) -> int:
             outs.append(encode_frame_t800(frame_in, chroma_shift=chroma,
                                           **opts2))
 
-    if nframes == 1 and "%" not in (args.output or ""):
-        _write(args.output, outs[0], binary=True)
-    elif args.output and args.output.endswith((".mj2", ".mov")):
+    if args.output and args.output.endswith((".mj2", ".mov")):
+        # container extension wins over the single-frame shortcut so a
+        # 1-frame encode to out.mj2 is properly MJ2-wrapped
         from ffmpeg_ht_tpu.containers.mov import mux_mj2
         _write(args.output, mux_mj2(outs, w, h), binary=True)
+    elif nframes == 1 and "%" not in (args.output or ""):
+        _write(args.output, outs[0], binary=True)
     elif args.output and "%" in args.output:
         for i, o in enumerate(outs):
             with open(args.output % i, "wb") as f:

@@ -25,22 +25,41 @@ def _root() -> str:
 
 
 def load():
-    """Load (building on first use if possible) the native library."""
+    """Load (building/rebuilding on first use if possible) the native library.
+
+    Rebuilds when any native/*.c|*.h source is newer than the .so, so source
+    edits are never silently shadowed by a stale binary. Set
+    FFMPEG_HT_TPU_NO_NATIVE=1 to skip the native tier entirely.
+    """
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    so = os.path.join(_root(), "native", "libffhtnative.so")
-    if not os.path.exists(so):
-        script = os.path.join(_root(), "native", "build.sh")
+    from ffmpeg_ht_tpu.utils.log import logger
+    if os.environ.get("FFMPEG_HT_TPU_NO_NATIVE"):
+        logger.debug("native tier disabled by FFMPEG_HT_TPU_NO_NATIVE")
+        return None
+    ndir = os.path.join(_root(), "native")
+    so = os.path.join(ndir, "libffhtnative.so")
+    srcs = [os.path.join(ndir, f) for f in sorted(os.listdir(ndir))
+            if f.endswith((".c", ".h"))] if os.path.isdir(ndir) else []
+    stale = (not os.path.exists(so)
+             or any(os.path.getmtime(s) > os.path.getmtime(so) for s in srcs))
+    if stale:
+        script = os.path.join(ndir, "build.sh")
         try:
             subprocess.run(["sh", script], check=True, capture_output=True,
                            timeout=120)
-        except Exception:
+            logger.info("built native tier %s", so)
+        except Exception as e:
+            logger.warning("native tier build failed (%s); using numpy "
+                           "fallbacks", e)
             return None
     try:
         lib = ctypes.CDLL(so)
-    except OSError:
+    except OSError as e:
+        logger.warning("native tier load failed (%s); using numpy "
+                       "fallbacks", e)
         return None
     lib.ht_prepare_streams.restype = ctypes.c_int
     lib.ht_prepare_streams.argtypes = [
@@ -107,7 +126,13 @@ def _enc_tables():
         for (ctx, r, sp, ek, e1), (cwd, ln) in inv.items():
             c = counts[tbl, ctx, sp, r]
             if c >= CAND:
-                continue
+                # A table change that overflows the candidate capacity must
+                # fail loudly — a silent drop would desync the native encoder
+                # from the Python encoder (divergent bitstreams).
+                raise RuntimeError(
+                    "inverse-CxtVLC candidates overflow CAND=%d at "
+                    "(tbl=%d,ctx=%d,rho=%d,u_off=%d)" % (CAND, tbl, ctx,
+                                                         sp, r))
             flat[tbl, ctx, sp, r, c] = (cwd | (ln << 8) | (ek << 16)
                                         | (e1 << 20) | (1 << 24))
             counts[tbl, ctx, sp, r] = c + 1

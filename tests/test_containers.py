@@ -182,7 +182,8 @@ def test_corrupt_sample_tables_bounded():
         # entry-count field: stsz at tag+8 (after sample_size), others tag+8
         cnt = p + (12 if tag == b"stsz" else 8)
         m[cnt:cnt + 4] = b"\x7f\xff\xff\xff"
-        try:
+        # the huge entry count MUST be rejected (the regression this test
+        # guards was a multi-GB list allocation); completing silently would
+        # mean the bounds check is gone
+        with pytest.raises(ValueError):
             list(demux_mov(bytes(m)))
-        except ValueError:
-            pass
