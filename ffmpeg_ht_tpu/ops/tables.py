@@ -2,8 +2,10 @@
 
 - CxtVLC decode tables: the Rec. ITU-T T.814 Annex C context-VLC codebook in
   decoded-LUT form (1024 entries = 128 codeword prefixes x 8 contexts), one
-  table for the initial quad row and one for non-initial rows. Stored as a
-  binary blob (`_cxtvlc.npz`) and decomposed here into per-field u8 arrays
+  table for the initial quad row and one for non-initial rows. The blob
+  `_cxtvlc.npz` is GENERATED from the human-readable Annex C codeword list
+  by tools/gen_cxtvlc.py (run with --check to verify provenance) and
+  decomposed here into per-field u8 arrays
   for vectorized gather on TPU. Entry layout (packed u16, parity with
   jpeg2000htdec.c:301-331): bits0: res_off, bits1-3: len, bits4-7: sig_pat,
   bits8-11: emb_pat_k, bits12-15: emb_pat_1.
