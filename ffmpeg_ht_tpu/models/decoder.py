@@ -137,7 +137,12 @@ def _build_batch(hdr, tiles: List[Tile]):
                                 continue
                             lcup = cblk.pass_lengths[0]
                             if lcup < 2:
-                                continue
+                                # error parity with the host oracle
+                                # (ht_dec.py) and the reference
+                                # (jpeg2000htdec.c:1252-1256): a frame must
+                                # never silently decode to different pixels
+                                # depending on which path ran
+                                raise InvalidData("cleanup pass length < 2")
                             x = cblk.coord[0][0] - band.coord[0][0]
                             y = cblk.coord[1][0] - band.coord[1][0]
                             dest = poff + y * pstride + x
@@ -168,7 +173,9 @@ def _build_batch(hdr, tiles: List[Tile]):
                             scup = ((buf[lcup - 1] << 4)
                                     + (buf[lcup - 2] & 0x0F))
                             if scup < 2 or scup > lcup or scup > 4079:
-                                continue  # host will reject
+                                # parity with ht_dec.py / the reference
+                                # (jpeg2000htdec.c:1265-1273)
+                                raise InvalidData(f"invalid Scup {scup}")
                             buf[lcup - 1] = 0xFF
                             buf[lcup - 2] |= 0x0F
                             zbp = cblk.zbp
@@ -220,7 +227,8 @@ def _bucket_arrays(b: _Bucket):
     padded to powers of two so the jitted entropy kernel's executable is
     reused across frames and geometries.
     """
-    from ffmpeg_ht_tpu.ops.ht_batch import prepare_streams_batch
+    from ffmpeg_ht_tpu.ops.ht_batch import (prepare_streams_batch,
+                                            stream_limits)
 
     n = len(b.rows)
     npad = _pow2(n, _LANE_PAD)
@@ -233,6 +241,7 @@ def _bucket_arrays(b: _Bucket):
     pcups = np.zeros(npad, np.int64)
     pcups[:n] = b.pcup
     msw, melw, vlcw = prepare_streams_batch(data, lcups, pcups)
+    ms_lim, mel_lim = stream_limits(data, lcups, pcups)
 
     def vec(vals, fill):
         a = np.full(npad, fill, np.int32)
@@ -243,6 +252,8 @@ def _bucket_arrays(b: _Bucket):
         msw=msw,
         melw=melw,
         vlcw=vlcw,
+        ms_lim=ms_lim,
+        mel_lim=mel_lim,
         pLSB=vec(b.pLSB, 2),
         maxbp=vec(b.maxbp, 32),
         magb=vec(b.magb, 8),
@@ -291,7 +302,7 @@ def _entropy_stage(shapes, bucket_args):
     for (qw, qh, w, h), args in zip(shapes, bucket_args):
         mu, ok = decode_cleanup_words(
             args["msw"], args["melw"], args["vlcw"], args["pLSB"],
-            args["maxbp"], qw, qh)
+            args["maxbp"], qw, qh, args["ms_lim"], args["mel_lim"])
         mus.append(mu)
         oks.append(ok)
     return mus, oks

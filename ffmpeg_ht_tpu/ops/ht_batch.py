@@ -168,6 +168,32 @@ def prepare_streams_batch(data, lcup, pcup):
     return (_trim_pow2(msw), _trim_pow2(melw), _trim_pow2(vlcw))
 
 
+def stream_limits(data, lcup, pcup):
+    """Per-lane first-word-index past stored content for MagSgn and MEL.
+
+    A prepared stream stores its payload bits plus a 64-bit all-ones tail
+    (_append_ones); every word at index >= (total_bits + 64) // 32 lies
+    entirely in the synthesized-0xFF region and is produced by _fetch
+    rather than stored, giving the reference's unbounded end-of-segment
+    0xFF behavior (jpeg2000htdec.c:207-221) on over-reading malformed
+    streams. The VLC stream reads backward (zeros past the start) and
+    needs no limit."""
+    data = np.asarray(data, np.uint8)
+    n, l = data.shape
+    lcup = np.asarray(lcup, np.int64)
+    pcup = np.asarray(pcup, np.int64)
+    cols = np.arange(l)[None, :]
+    prev = np.concatenate([np.zeros((n, 1), np.uint8), data[:, :-1]], axis=1)
+    nbits = np.where(prev == 0xFF, 7, 8)
+    tot_ms = (nbits * (cols < pcup[:, None])).sum(axis=1)
+    first = cols == pcup[:, None]
+    nbits_mel = np.where(np.where(first, 0, prev) == 0xFF, 7, 8)
+    valid_mel = (cols >= pcup[:, None]) & (cols < lcup[:, None])
+    tot_mel = (nbits_mel * valid_mel).sum(axis=1)
+    return (((tot_ms + 64) // 32).astype(np.int32),
+            ((tot_mel + 64) // 32).astype(np.int32))
+
+
 def _trim_pow2(a: np.ndarray) -> np.ndarray:
     """Trim trailing all-zero word columns, then pad to a pow2 width.
 
@@ -213,26 +239,41 @@ def prepare_streams(rows, lcups, pcups):
 # when no lane crossed.
 # ---------------------------------------------------------------------------
 
-def st_init(words):
-    """Stream state: (pos, widx, lo, hi); window = bits [32*widx, 32*widx+64)."""
+_NO_LIM = 1 << 29  # forward-stream sentinel: never synthesize, OOB reads 0
+
+
+def st_init(words, lim=None):
+    """Stream state: (pos, widx, lo, hi, lim).
+
+    window = bits [32*widx, 32*widx+64). `lim` (per-lane, optional) is the
+    first word index past the stream's stored content: fetches at/past it
+    synthesize all-ones words, mirroring the reference's unbounded 0xFF
+    synthesis past the segment end (jpeg2000htdec.c:207-221) so malformed
+    streams that over-read decode identically to the scalar oracle. Streams
+    prepared with the 64-bit ones tail always store >= 2 valid words, so
+    the initial window never needs synthesis."""
     N, W = words.shape
     z = jnp.zeros((N,), I32)
     lo = words[:, 0]
     hi = words[:, 1] if W > 1 else jnp.zeros((N,), U32)
-    return (z, z, lo, hi)
+    if lim is None:
+        lim = jnp.full((N,), _NO_LIM, I32)
+    return (z, z, lo, hi, jnp.asarray(lim, I32))
 
 
-def _fetch(words, idx):
-    """Per-lane word gather as a one-hot reduce (OOB reads 0)."""
+def _fetch(words, idx, lim):
+    """Per-lane word gather as a one-hot reduce (idx >= lim reads ~0,
+    OOB below lim reads 0)."""
     W = words.shape[1]
     ar = jnp.arange(W, dtype=I32)[None, :]
     sel = ar == idx[:, None]
-    return jnp.sum(jnp.where(sel, words, jnp.uint32(0)), axis=1, dtype=U32)
+    val = jnp.sum(jnp.where(sel, words, jnp.uint32(0)), axis=1, dtype=U32)
+    return jnp.where(idx >= lim, jnp.uint32(0xFFFFFFFF), val)
 
 
 def _st_window(st):
     """The 32 bits at the current position (register-only, no memory)."""
-    pos, widx, lo, hi = st
+    pos, widx, lo, hi, _ = st
     off = (pos - (widx << 5)).astype(U32)
     return (lo >> off) | jnp.where(off == 0, jnp.uint32(0),
                                    hi << (jnp.uint32(32) - off))
@@ -245,19 +286,19 @@ def st_peek(st, n: int):
 
 def st_advance(words, st, n, active):
     """Consume n (per-lane, <= 25) bits; refill the window if needed."""
-    pos, widx, lo, hi = st
+    pos, widx, lo, hi, lim = st
     pos = pos + jnp.where(active, n, 0).astype(I32)
     shift = (pos >> 5) > widx  # advances by at most one word (n <= 25)
 
     def refill(args):
-        pos, widx, lo, hi = args
-        nhi = _fetch(words, widx + 2)
+        pos, widx, lo, hi, lim = args
+        nhi = _fetch(words, widx + 2, lim)
         lo2 = jnp.where(shift, hi, lo)
         hi2 = jnp.where(shift, nhi, hi)
-        return pos, widx + shift.astype(I32), lo2, hi2
+        return pos, widx + shift.astype(I32), lo2, hi2, lim
 
     return jax.lax.cond(jnp.any(shift), refill, lambda a: a,
-                        (pos, widx, lo, hi))
+                        (pos, widx, lo, hi, lim))
 
 
 def st_get(words, st, n, active):
@@ -500,7 +541,8 @@ QH_MAX = 32
 
 
 @jax.jit
-def decode_cleanup_words(msw, melw, vlcw, pLSB, maxbp, qw, qh):
+def decode_cleanup_words(msw, melw, vlcw, pLSB, maxbp, qw, qh,
+                         ms_lim=None, mel_lim=None):
     """Decode N codeblocks' cleanup segments in lockstep.
 
     msw/melw/vlcw: uint32 (N, W) dense bit streams from prepare_streams.
@@ -524,9 +566,9 @@ def decode_cleanup_words(msw, melw, vlcw, pLSB, maxbp, qw, qh):
     ones = jnp.ones((N,), bool)
     zeros = jnp.zeros((N,), I32)
 
-    mel_st = (st_init(melw), zeros, zeros, zeros)  # stream, k, run, one
-    vpos = st_init(vlcw)
-    mpos = st_init(msw)
+    mel_st = (st_init(melw, mel_lim), zeros, zeros, zeros)
+    vpos = st_init(vlcw)          # backward stream: zeros past start
+    mpos = st_init(msw, ms_lim)
 
     ROWW = 4 * QW_MAX + 8
     sig_prev = jnp.zeros((N, ROWW), I32)
@@ -715,7 +757,9 @@ def decode_cleanup_bucket(data, lcup, pcup, pLSB, maxbp, qw, qh):
     lc = np.asarray(lcup)
     pc = np.asarray(pcup)
     msw, melw, vlcw = prepare_streams_batch(data_np, lc, pc)
+    ms_lim, mel_lim = stream_limits(data_np, lc, pc)
     mu, ok = decode_cleanup_words(
         jnp.asarray(msw), jnp.asarray(melw), jnp.asarray(vlcw),
-        jnp.asarray(pLSB), jnp.asarray(maxbp), qw, qh)
+        jnp.asarray(pLSB), jnp.asarray(maxbp), qw, qh,
+        jnp.asarray(ms_lim), jnp.asarray(mel_lim))
     return quad_to_raster(np.asarray(mu)), ok

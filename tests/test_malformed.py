@@ -52,6 +52,51 @@ def test_bitflips_never_crash():
             pass
 
 
+def _decode_both(data: bytes):
+    """Decode via host and via the TPU-path Decoder; return comparable
+    outcomes: ('ok', pixel bytes) or ('err',). Any non-J2KError propagates
+    (= test failure)."""
+    from ffmpeg_ht_tpu.models.decoder import Decoder
+    try:
+        h = ("ok", decode_frame(data).tobytes())
+    except J2KError:
+        h = ("err",)
+    try:
+        d = ("ok", Decoder().decode(data).tobytes())
+    except J2KError:
+        d = ("err",)
+    return h, d
+
+
+def test_device_host_agree_on_mutants():
+    """The device path must agree with the host path on every mutant —
+    same pixels or both reject (parity with jpeg2000htdec.c:1252-1273;
+    VERDICT r1: the device path used to silently zero bad-Scup blocks)."""
+    from ffmpeg_ht_tpu.models.encoder import encode_frame_htj2k
+    img = np.arange(4096, dtype=np.uint8).reshape(64, 64)
+    data = bytearray(encode_frame_htj2k(img))
+    rng = np.random.default_rng(7)
+    checked = 0
+    for _ in range(48):
+        pos = int(rng.integers(0, len(data)))
+        bit = 1 << int(rng.integers(0, 8))
+        mutated = bytearray(data)
+        mutated[pos] ^= bit
+        h, d = _decode_both(bytes(mutated))
+        assert h == d, f"host={h[0]} device={d[0]} at byte {pos} bit {bit}"
+        checked += 1
+    assert checked == 48
+
+
+def test_device_truncations_match_host():
+    from ffmpeg_ht_tpu.models.encoder import encode_frame_htj2k
+    img = np.arange(1024, dtype=np.uint8).reshape(32, 32)
+    data = encode_frame_htj2k(img)
+    for cut in range(16, len(data), 11):
+        h, d = _decode_both(data[:cut])
+        assert h == d, f"host={h[0]} device={d[0]} at cut {cut}"
+
+
 def test_missing_first_tile_part_rejected():
     """A corrupt TPsot on the only tile-part leaves the tile without
     COD/QCD; must be a typed rejection (found by fuzzing; the reference
