@@ -298,6 +298,15 @@ def init_tile(hdr: MainHeader, tileno: int) -> Tile:
         qntsty = th.qntsty[compno]
         if not codsty.init:
             raise InvalidData("COD missing for component")
+        if hdr.caps.is_ht and not hdr.caps.htrev \
+                and codsty.transform == mk.DWT97:
+            # jpeg2000dec.c:1056-1059: a lossy transform in a reversible-only
+            # (Ccap15 bit5 = 0) HT set is invalid. The reference's +bitexact
+            # mode maps the SPcod byte to DWT97_INT before this check, so
+            # only the float path rejects — matched here via the parser's
+            # identical mapping (parser.py:132-133).
+            raise InvalidData(
+                "Transformation = 0 (lossy DWT) in HTREV HT set")
         coord_o = [[ceildiv(tc[0][0], cinfo.dx), ceildiv(tc[0][1], cinfo.dx)],
                    [ceildiv(tc[1][0], cinfo.dy), ceildiv(tc[1][1], cinfo.dy)]]
         coord = [[ceildivpow2(coord_o[i][j], hdr.reduction_factor)

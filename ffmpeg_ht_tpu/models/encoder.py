@@ -66,6 +66,8 @@ class EncoderConfig:
     log2_cblk_width: int = 4
     log2_cblk_height: int = 4
     tp_interval: int = 0   # packets per tile-part (0 = one tile-part)
+    mct: bool = False      # component transform (RCT if pred=1, ICT if 0);
+                           # HT encoder only (j2kenc never signals MCT)
 
 
 def _init_quantization(codsty: CodingStyle, qntsty: QuantStyle,
@@ -348,19 +350,25 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                        chroma_shift=(0, 0), depth: Optional[int] = None,
                        refinement: bool = False,
                        **opts) -> bytes:
-    """Encode one frame as a reversible HTJ2K (T.814) codestream.
+    """Encode one frame as an HTJ2K (T.814) codestream.
 
     Capability beyond the reference (ffmpeg has no HT encoder, only the HT
     decoder); output is validated against `ffmpeg -i` in the test suite.
-    Structure: SIZ (Rsiz 0x4000) + CAP/Ccap15 (HTONLY, HTREV) + COD with
-    SPcod cblk-style 0x40 + QCD, one cleanup-pass HT segment per codeblock
+    Structure: SIZ (Rsiz 0x4000) + CAP/Ccap15 (HTONLY) + COD with SPcod
+    cblk-style 0x40 + QCD, one cleanup-pass HT segment per codeblock
     (ops/ht_enc.py), standard T2 packet emission.
+
+    pred=1 (default): reversible 5/3, no quantization (QSTY_NONE).
+    pred=0: irreversible 9/7 (encoder-side integer DWT, the j2kenc
+    convention) with scalar-expounded quantization (QSTY_SE, stepsizes per
+    j2kenc.c:553-578) — the test-vector source for the lossy decode paths.
+    mct=True additionally applies the component transform (RCT for pred=1,
+    ICT for pred=0) across the first three equally-sized components.
     """
     from ffmpeg_ht_tpu.ops import ht_enc
 
     cfg = EncoderConfig(**opts)
-    if not cfg.pred:
-        raise ValueError("HT encoder currently emits reversible (5/3) only")
+    lossy = not cfg.pred
 
     if isinstance(img, np.ndarray):
         planes_in = [img] if img.ndim == 2 else \
@@ -373,15 +381,17 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
     ncomp = len(planes_in)
     cbps = depth or int(planes_in[0].dtype.itemsize * 8)
 
+    use_mct = bool(cfg.mct) and ncomp >= 3 and chroma_shift == (0, 0)
     codsty = CodingStyle(
         csty=(mk.CSTY_SOP if cfg.sop else 0) | (mk.CSTY_EPH if cfg.eph else 0),
         prog_order=_PROG[cfg.prog],
         nreslevels=cfg.nreslevels, nreslevels2decode=cfg.nreslevels,
         log2_cblk_width=cfg.log2_cblk_width,
         log2_cblk_height=cfg.log2_cblk_height,
-        cblk_style=mk.CTSY_HTJ2K_F,
-        transform=mk.DWT53, init=True)
-    qntsty = QuantStyle(nguardbits=2, quantsty=mk.QSTY_NONE)
+        cblk_style=mk.CTSY_HTJ2K_F, mct=1 if use_mct else 0,
+        transform=mk.DWT97_INT if lossy else mk.DWT53, init=True)
+    qntsty = QuantStyle(nguardbits=2,
+                        quantsty=mk.QSTY_SE if lossy else mk.QSTY_NONE)
     _init_quantization(codsty, qntsty, cbps)
 
     siz = SIZ(rsiz=0x4000, width=width, height=height,
@@ -410,14 +420,27 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
     for tileno in range(ntiles):
         tile = init_tile(hdr, tileno)
         tiles.append(tile)
-        planes = []
+        raw = []
         for compno, comp in enumerate(tile.comp):
             x0, x1 = comp.coord[0]
             y0, y1 = comp.coord[1]
+            cw, ch = x1 - x0, y1 - y0
             p = planes_in[compno][y0:y1, x0:x1].astype(np.int32) \
                 - (1 << (cbps - 1))
-            cw, ch = x1 - x0, y1 - y0
-            plane = dwtmod.dwt_encode(p.reshape(ch, cw), comp.coord,
+            raw.append(p.reshape(ch, cw))
+        if use_mct:
+            from ffmpeg_ht_tpu.ops import mct as mctmod
+            if lossy:
+                y0_, y1_, y2_ = mctmod.ict_fwd(raw[0], raw[1], raw[2])
+                raw[0] = np.rint(y0_).astype(np.int32)
+                raw[1] = np.rint(y1_).astype(np.int32)
+                raw[2] = np.rint(y2_).astype(np.int32)
+            else:
+                raw[0], raw[1], raw[2] = mctmod.rct_fwd(raw[0], raw[1],
+                                                        raw[2])
+        planes = []
+        for compno, comp in enumerate(tile.comp):
+            plane = dwtmod.dwt_encode(raw[compno], comp.coord,
                                       codsty.nreslevels - 1, codsty.transform)
             planes.append(plane)
             subbandno = 0
@@ -428,6 +451,12 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                     if (band.coord[0][0] >= band.coord[0][1]
                             or band.coord[1][0] >= band.coord[1][1]):
                         continue
+                    # lossy: deadzone scalar quantization, the j2kenc
+                    # scaling (j2kenc.c:1463-1468) — q = (|c|*scale)>>15
+                    # with scale = 2^14*2^16/i_stepsize; the decoder's
+                    # dequant_int_97 reconstructs (q+0.5)*stepsize
+                    scale = (16384 * 65536) // band.i_stepsize if lossy \
+                        else 0
                     maxc = 0
                     for pr in band.prec:
                         for cblk in pr.cblk:
@@ -437,7 +466,17 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                             cy = cblk.coord[1][0] - band.coord[1][0]
                             blk = plane[cy:cy + cblk.height,
                                         cx:cx + cblk.width]
-                            if blk.size:
+                            if not blk.size:
+                                continue
+                            if lossy:
+                                q = (np.abs(blk.astype(np.int64))
+                                     * scale) >> 15
+                                plane[cy:cy + cblk.height,
+                                      cx:cx + cblk.width] = \
+                                    np.where(blk < 0, -q,
+                                             q).astype(np.int32)
+                                maxc = max(maxc, int(q.max()))
+                            else:
                                 maxc = max(maxc, int(np.abs(blk).max()))
                     if maxc > 1:
                         e_max = (2 * maxc - 1).bit_length()
@@ -459,7 +498,10 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
     b_field = max(0, max_magb - 8)
     if b_field > 19:
         raise ValueError(f"B={max_magb} not encodable in Ccap15")
-    ccap15 = b_field  # HTONLY, single HT set, RGNFREE, HOMOGENEOUS, HTREV
+    # HTONLY, single HT set, RGNFREE, HOMOGENEOUS; bit5 set = irreversible
+    # transforms allowed (clear = HTREV reversible-only set, which the
+    # reference rejects for transform 0, jpeg2000dec.c:1056-1059)
+    ccap15 = b_field | (0x20 if lossy else 0)
     out.extend(_be16(mk.CAP) + _be16(2 + 4 + 2))  # Lcap
     out.extend(_be32(1 << 17))  # Pcap: Ccap15 present
     out.extend(_be16(ccap15))
@@ -590,12 +632,12 @@ def _put_cod_ht(out: bytearray, cfg: EncoderConfig, codsty: CodingStyle,
     out.append(scod)
     out.append(_PROG[cfg.prog])
     out.extend(_be16(nlayers))
-    out.append(0)
+    out.append(codsty.mct)
     out.append(codsty.nreslevels - 1)
     out.append(codsty.log2_cblk_width - 2)
     out.append(codsty.log2_cblk_height - 2)
     out.append(mk.CTSY_HTJ2K_F)
-    out.append(1)  # 5/3 reversible
+    out.append(1 if codsty.transform == mk.DWT53 else 0)
 
 
 def encode_frame_t800(img: Union[np.ndarray, Sequence[np.ndarray]],

@@ -57,6 +57,28 @@ def rct_int(y0: np.ndarray, y1: np.ndarray, y2: np.ndarray):
     return (r.view(np.int32), g.view(np.int32), b.view(np.int32))
 
 
+def rct_fwd(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    """Forward reversible component transform (T.800 G.2; exact inverse of
+    rct_int)."""
+    y0 = (r + 2 * g + b) >> 2
+    return y0, b - g, r - g
+
+
+def ict_fwd(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    """Forward irreversible component transform (T.800 G.3, float).
+
+    Lossy pair of ict_float/ict_int; the roundtrip is approximate by
+    design (the decoder-vs-decoder parity tests judge bit-exactness, not
+    the roundtrip)."""
+    r = r.astype(np.float64)
+    g = g.astype(np.float64)
+    b = b.astype(np.float64)
+    y0 = 0.299 * r + 0.587 * g + 0.114 * b
+    y1 = -0.16875 * r - 0.33126 * g + 0.5 * b
+    y2 = 0.5 * r - 0.41869 * g - 0.08131 * b
+    return y0, y1, y2
+
+
 def mct_decode(transform: int, c0, c1, c2):
     """Dispatch by DWT type (jpeg2000dsp.c:93-98 / jpeg2000dec.c:2183-2209)."""
     from ffmpeg_ht_tpu.ops.dwt import DWT97, DWT97_INT

@@ -260,3 +260,66 @@ def test_jph_file_format(ffmpeg, tmp_path):
          "-f", "j2k_pipe", "-i", str(p), "-f", "rawvideo", "-"],
         check=True, capture_output=True)
     assert r.stdout == img.tobytes()
+
+
+def _smooth(h, w):
+    x = np.linspace(0, 8, w)
+    y = np.linspace(0, 6, h)
+    return (np.sin(y[:, None]) * np.cos(x[None, :]) * 100 + 128) \
+        .astype(np.uint8)
+
+
+def test_ht_lossy_gray_parity(ffmpeg):
+    """Lossy (9/7 + QSTY_SE) HT encode: our bitexact decode must equal the
+    reference's +bitexact decode byte-for-byte, and the float paths must
+    match each other (both are lrintf chains over the same stream)."""
+    img = _smooth(80, 96)
+    data = encode_frame_htj2k(img, pred=0)
+    ref_be = ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
+                                     "-flags", "+bitexact")
+    assert decode_frame(data, bitexact=True).tobytes() == ref_be
+    ref_f = ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k")
+    ours_f = decode_frame(data, bitexact=False).tobytes()
+    a = np.frombuffer(ours_f, np.uint8).astype(int)
+    b = np.frombuffer(ref_f, np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 1  # BASELINE.md: 9/7 within 1 LSB
+    # genuinely lossy but close
+    err = np.abs(np.frombuffer(ref_be, np.uint8).astype(int)
+                 - img.reshape(-1).astype(int)).max()
+    assert err <= 8
+
+
+def test_ht_lossy_rgb_ict_parity(ffmpeg):
+    base = _smooth(80, 96)
+    img = np.stack([base, base[::-1], np.roll(base, 7, 1)], axis=2)
+    data = encode_frame_htj2k(img, pred=0, mct=True)
+    ref = ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
+                                  "-flags", "+bitexact")
+    assert decode_frame(data, bitexact=True).tobytes() == ref
+
+
+def test_ht_rct_lossless_roundtrip(ffmpeg):
+    img = RNG.integers(0, 256, (48, 56, 3), dtype=np.uint8)
+    data = encode_frame_htj2k(img, pred=1, mct=True)
+    ref = ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
+                                  "-flags", "+bitexact")
+    assert ref == img.tobytes()  # RCT is exactly invertible
+    assert decode_frame(data, bitexact=True).tobytes() == ref
+
+
+def test_htrev_set_rejects_lossy_transform():
+    """Ccap15 bit5 clear (HTREV reversible-only) + transform 0 must be
+    rejected on the float path but decode in bitexact mode, matching the
+    reference (jpeg2000dec.c:1056-1059 runs after the +bitexact transform
+    remap)."""
+    from ffmpeg_ht_tpu.utils.errors import J2KError
+    img = _smooth(64, 64)
+    data = bytearray(encode_frame_htj2k(img, pred=0))
+    # Ccap15 is the u16 right after the 4-byte Pcap in the CAP segment
+    cap = data.index(b"\xff\x50")
+    ccap15 = cap + 8
+    assert data[ccap15 + 1] & 0x20
+    data[ccap15 + 1] &= ~0x20
+    with pytest.raises(J2KError):
+        decode_frame(bytes(data), bitexact=False)
+    decode_frame(bytes(data), bitexact=True)  # must not raise
