@@ -43,15 +43,26 @@ _HOST_AREA = 64        # codeblocks smaller than this decode on host (edge
                        # slivers; keeps the per-geometry bucket count low)
 
 
+_DEVICE_TRANSFORMS = (mk.DWT53, mk.DWT97_INT, mk.DWT97)
+
+
 def _supported_on_device(hdr, tiles: List[Tile]) -> bool:
-    """Device path covers HTONLY cleanup-only 5/3 streams without ROI."""
+    """Device path covers HTONLY streams without ROI; all three transforms
+    (5/3 reversible, bitexact integer 9/7, float 9/7), uniform across the
+    frame's tile-components (one flat-buffer dtype per launch)."""
+    transform = tiles[0].codsty[0].transform if tiles else mk.DWT53
     for tile in tiles:
         for compno, comp in enumerate(tile.comp):
             codsty = tile.codsty[compno]
-            if codsty.transform != mk.DWT53:
+            if codsty.transform not in _DEVICE_TRANSFORMS \
+                    or codsty.transform != transform:
                 return False
             if comp.roi_shift:
                 return False
+            qntsty = tile.qntsty[compno]
+            for sb in range(codsty.nreslevels2decode * 3 - 2):
+                if qntsty.expn[sb] + qntsty.nguardbits - 1 >= 31:
+                    return False  # host raises PatchWelcome (HT M_b >= 31)
             if not (codsty.cblk_style & mk.CTSY_HTJ2K_F):
                 return False
             if (codsty.log2_cblk_width > 6 or codsty.log2_cblk_height > 6):
@@ -78,6 +89,8 @@ class _Bucket:
     maxbp: List[int] = field(default_factory=list)
     magb: List[int] = field(default_factory=list)
     istep: List[int] = field(default_factory=list)
+    scale97: List[int] = field(default_factory=list)   # int97 dequant scale
+    fscale: List[float] = field(default_factory=list)  # float dequant scale
     dest: List[int] = field(default_factory=list)    # flat index of (y0,x0)
     stride: List[int] = field(default_factory=list)  # plane row stride
 
@@ -92,6 +105,13 @@ class _Geometry:
     tile_comp_index: List[List[int]]      # tileno -> [plane indices]
     cbps: int
     total: int
+    transform: int = mk.DWT53             # uniform across the frame
+
+    def key(self) -> Tuple:
+        return (tuple(self.planes), tuple(self.borders), tuple(self.ndecs),
+                tuple(self.mct),
+                tuple(tuple(i) for i in self.tile_comp_index),
+                self.cbps, self.total, self.transform)
 
 
 def _build_batch(hdr, tiles: List[Tile]):
@@ -115,8 +135,10 @@ def _build_batch(hdr, tiles: List[Tile]):
         tile_comp_index.append(idxs)
     total = offset
 
+    transform = tiles[0].codsty[0].transform if tiles else mk.DWT53
     buckets: Dict[Tuple[int, int], _Bucket] = {}
-    prefill = np.zeros(total + 1, np.int32)
+    prefill = np.zeros(total + 1,
+                       np.float32 if transform == mk.DWT97 else np.int32)
     for tileno, tile in enumerate(tiles):
         for compno, comp in enumerate(tile.comp):
             qntsty = tile.qntsty[compno]
@@ -161,8 +183,15 @@ def _build_batch(hdr, tiles: List[Tile]):
                                     bytes(cblk.data), cblk.npasses,
                                     cblk.zbp, cblk.pass_lengths, w, h,
                                     magb, 0, 0)
-                                blk = dq.dequant_int(t1, band.i_stepsize,
-                                                     magb)
+                                if transform == mk.DWT97:
+                                    blk = dq.dequant_float(
+                                        t1, band.f_stepsize, magb)
+                                elif transform == mk.DWT97_INT:
+                                    blk = dq.dequant_int_97(
+                                        t1, band.f_stepsize, magb)
+                                else:
+                                    blk = dq.dequant_int(
+                                        t1, band.i_stepsize, magb)
                                 for yy in range(h):
                                     s = dest + yy * pstride
                                     prefill[s:s + w] = blk[yy]
@@ -197,6 +226,14 @@ def _build_batch(hdr, tiles: List[Tile]):
                             b.maxbp.append(zbp + 1)
                             b.magb.append(magb)
                             b.istep.append(band.i_stepsize)
+                            from ffmpeg_ht_tpu.ops.dequant import int97_scale
+                            b.scale97.append(
+                                int97_scale(band.f_stepsize, magb)
+                                if transform == mk.DWT97_INT else 0)
+                            b.fscale.append(float(
+                                np.float32(band.f_stepsize)
+                                / np.float32(1 << (31 - magb)))
+                                if transform == mk.DWT97 else 0.0)
                             b.dest.append(dest)
                             b.stride.append(pstride)
 
@@ -204,7 +241,8 @@ def _build_batch(hdr, tiles: List[Tile]):
                      ndecs=tuple(ndecs),
                      mct=tuple(bool(t.codsty[0].mct) for t in tiles),
                      tile_comp_index=tile_comp_index,
-                     cbps=hdr.siz.components[0].depth, total=total)
+                     cbps=hdr.siz.components[0].depth, total=total,
+                     transform=transform)
     return geom, buckets, prefill
 
 
@@ -243,8 +281,8 @@ def _bucket_arrays(b: _Bucket):
     msw, melw, vlcw = prepare_streams_batch(data, lcups, pcups)
     ms_lim, mel_lim = stream_limits(data, lcups, pcups)
 
-    def vec(vals, fill):
-        a = np.full(npad, fill, np.int32)
+    def vec(vals, fill, dtype=np.int32):
+        a = np.full(npad, fill, dtype)
         a[:n] = vals
         return a
 
@@ -258,6 +296,8 @@ def _bucket_arrays(b: _Bucket):
         maxbp=vec(b.maxbp, 32),
         magb=vec(b.magb, 8),
         istep=vec(b.istep, 32768),
+        scale97=vec(b.scale97, 0),
+        fscale=vec(b.fscale, 0.0, np.float32),
         dest=vec(b.dest, -1),      # -1 -> trash slot
         stride=vec(b.stride, 0),
         nreal=n,                   # host-side lane count (padding excluded)
@@ -320,12 +360,18 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
 
     from ffmpeg_ht_tpu.ops.dwt_jax import _dwt_decode_traced
 
-    planes, borders, ndecs, mct_flags, tci, cbps, total = geom_key
+    (planes, borders, ndecs, mct_flags, tci, cbps, total,
+     transform) = geom_key
+    flat_dtype = jnp.float32 if transform == mk.DWT97 else jnp.int32
+    if transform == mk.DWT97_INT and not jax.config.jax_enable_x64:
+        # dequant products need > 32 bits; without x64 jnp.int64 silently
+        # degrades to int32 and corrupts coefficients
+        raise RuntimeError("DWT97_INT device path requires jax_enable_x64")
 
     def assemble(pf_idx, pf_val, mus, oks, bucket_args):
         # host-decoded slivers arrive as a sparse (idx, val) pair: the
         # dense flat buffer never crosses the host->device link
-        flat = jnp.zeros((total + 1,), jnp.int32)
+        flat = jnp.zeros((total + 1,), flat_dtype)
         flat = flat.at[pf_idx].set(pf_val)
 
         for (qw, qh, w, h), mu, args in zip(bucket_shapes, mus, bucket_args):
@@ -334,17 +380,31 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
             # the bucket's real quad grid (static), dequant, and fold the
             # quad->raster permutation into the scatter's index math.
             mu = mu[:, :qh, :4 * qw]
-            # dequant (reversible path, jpeg2000dec.c:2119-2151):
-            # sign-magnitude -> two's complement, downshift 31 - M_b
             val = mu.astype(jnp.uint32)
             neg = (val >> 31) == 1
             mag = (val & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-            down = (31 - args["magb"])[:, None, None]
-            mag = mag >> down
-            coef = jnp.where(neg, -mag, mag)
-            istep = args["istep"][:, None, None]
-            coef = jnp.where(istep != 32768,
-                             (coef * istep) >> 16, coef)
+            if transform == mk.DWT97:
+                # dequant_float (jpeg2000dec.c:2098-2117): signed magnitude
+                # at the 31-bit binary point times the per-band f32 scale
+                m = jnp.where(neg, -mag, mag).astype(jnp.float32)
+                coef = m * args["fscale"][:, None, None]
+            elif transform == mk.DWT97_INT:
+                # dequant_int_97 (jpeg2000dec.c:2153-2181): PRESCALE then
+                # Q16 multiply with RSHIFT rounding; 64-bit intermediates
+                m = jnp.where(neg, -mag, mag)
+                m = ((m + 32) >> 6).astype(jnp.int64)
+                prod = m * args["scale97"][:, None, None].astype(jnp.int64)
+                coef = jnp.where(prod > 0, (prod + (1 << 15)) >> 16,
+                                 (prod + (1 << 15) - 1) >> 16)
+                coef = coef.astype(jnp.int32)
+            else:
+                # reversible (jpeg2000dec.c:2119-2151): downshift 31 - M_b
+                down = (31 - args["magb"])[:, None, None]
+                m = mag >> down
+                coef = jnp.where(neg, -m, m)
+                istep = args["istep"][:, None, None]
+                coef = jnp.where(istep != 32768,
+                                 (coef * istep) >> 16, coef)
             # scatter into the flat buffer; dest<0 lanes and out-of-block
             # padding samples go to the trash slot
             qr = jnp.arange(qh, dtype=jnp.int32)[None, :, None]
@@ -356,7 +416,7 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
             stride = args["stride"][:, None, None]
             idx = base + y * stride + x
             idx = jnp.where((base < 0) | (y >= h) | (x >= w), total, idx)
-            flat = flat.at[idx.ravel()].set(coef.ravel().astype(jnp.int32))
+            flat = flat.at[idx.ravel()].set(coef.ravel().astype(flat_dtype))
 
         # per tile-component inverse DWT
         outs = []
@@ -366,28 +426,55 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
             if ndec > 0:
                 b = [[border[0][0], border[0][1]],
                      [border[1][0], border[1][1]]]
-                plane = _dwt_decode_traced(plane, b, ndec, mk.DWT53)
+                plane = _dwt_decode_traced(plane, b, ndec, transform)
             outs.append(plane)
 
-        # inverse MCT (RCT) + DC shift/clip per tile: fused Pallas kernel
-        # (ops/mct_pallas.py, the analog of x86/jpeg2000dsp.asm +
-        # write_frame); interpret mode off-TPU
+        # inverse MCT + DC shift/clip per tile: RCT runs as the fused
+        # Pallas kernel (ops/mct_pallas.py, the analog of
+        # x86/jpeg2000dsp.asm + write_frame; interpret mode off-TPU);
+        # the ICT variants are fused XLA elementwise (jpeg2000dsp.c:43-76)
         from ffmpeg_ht_tpu.ops.mct_pallas import rct_writeframe
         interp = jax.default_backend() == "cpu"
+        shift = 1 << (cbps - 1)
+
+        def finish(c):
+            if transform == mk.DWT97:
+                c = jnp.rint(c).astype(jnp.int32)  # lrintf, half-to-even
+            return jnp.clip(c + shift, 0, (1 << cbps) - 1)
+
+        def ict_int(y0, y1, y2):
+            # u32-wraparound Q16 multiplies (jpeg2000dsp.c:61-76)
+            def qmul(c, v):
+                prod = jnp.uint32(c & 0xFFFFFFFF) * v.astype(jnp.uint32)
+                prod = prod + jnp.uint32(1 << 15)
+                return prod.astype(jnp.int32) >> 16
+            i0 = y0 + y2 + qmul(26345, y2)
+            i1 = y0 - qmul(22553, y1) - qmul(46802, y2)
+            i2 = y0 + 2 * y1 + qmul(-14942, y1)
+            return i0, i1, i2
+
+        def ict_float(y0, y1, y2):
+            # f_ict_params (jpeg2000dsp.c:43-59)
+            f = [jnp.float32(v) for v in (1.402, 0.34413, 0.71414, 1.772)]
+            return (y0 + f[0] * y2, y0 - f[1] * y1 - f[2] * y2,
+                    y0 + f[3] * y1)
+
         final = []
         for tileno, idxs in enumerate(tci):
             comps = [outs[i] for i in idxs]
-            shift = 1 << (cbps - 1)
             if mct_flags[tileno] and len(comps) >= 3 \
                     and comps[0].shape == comps[1].shape == comps[2].shape:
-                r, g, bl = rct_writeframe(comps[0], comps[1], comps[2],
-                                          cbps, interpret=interp)
-                comps = [r, g, bl] + [
-                    jnp.clip(c + shift, 0, (1 << cbps) - 1)
-                    for c in comps[3:]]
+                if transform == mk.DWT53:
+                    r, g, bl = rct_writeframe(comps[0], comps[1], comps[2],
+                                              cbps, interpret=interp)
+                    comps = [r, g, bl] + [finish(c) for c in comps[3:]]
+                else:
+                    ict = ict_float if transform == mk.DWT97 else ict_int
+                    c0, c1, c2 = ict(comps[0], comps[1], comps[2])
+                    comps = [finish(c) for c in (c0, c1, c2)] \
+                        + [finish(c) for c in comps[3:]]
             else:
-                comps = [jnp.clip(c + shift, 0, (1 << cbps) - 1)
-                         for c in comps]
+                comps = [finish(c) for c in comps]
             final.extend(comps)
         # validity flag: every real lane's U-bound check must have passed
         # (padding lanes are masked); shipped as the last element of the
@@ -508,15 +595,8 @@ class Decoder:
             prefills.append(p)
 
         g0 = geoms[0]
-        base_key = (tuple(g0.planes), g0.borders, g0.ndecs, g0.mct,
-                    tuple(tuple(i) for i in g0.tile_comp_index),
-                    g0.cbps, g0.total)
-        for g in geoms[1:]:
-            k = (tuple(g.planes), g.borders, g.ndecs, g.mct,
-                 tuple(tuple(i) for i in g.tile_comp_index),
-                 g.cbps, g.total)
-            if k != base_key:
-                return [self.decode(d) for _, _, d in parsed]
+        if any(g.key() != g0.key() for g in geoms[1:]):
+            return [self.decode(d) for _, _, d in parsed]
 
         F = len(parsed)
         total = g0.total
@@ -525,17 +605,12 @@ class Decoder:
         for f, bmap in enumerate(bucket_maps):
             for key, b in bmap.items():
                 m = merged.setdefault(key, _Bucket(b.w, b.h))
-                m.rows.extend(b.rows)
-                m.lcup.extend(b.lcup)
-                m.pcup.extend(b.pcup)
-                m.pLSB.extend(b.pLSB)
-                m.maxbp.extend(b.maxbp)
-                m.magb.extend(b.magb)
-                m.istep.extend(b.istep)
+                for fld in ("rows", "lcup", "pcup", "pLSB", "maxbp", "magb",
+                            "istep", "scale97", "fscale", "stride"):
+                    getattr(m, fld).extend(getattr(b, fld))
                 m.dest.extend(d + f * total for d in b.dest)
-                m.stride.extend(b.stride)
         prefill = np.concatenate([p[:-1] for p in prefills]
-                                 + [np.zeros(1, np.int32)])
+                                 + [np.zeros(1, prefills[0].dtype)])
 
         # frame-replicated geometry
         planes = []
@@ -552,25 +627,13 @@ class Decoder:
             mct.extend(g0.mct)
             for idxs in g0.tile_comp_index:
                 tci.append(tuple(i + pbase for i in idxs))
-        geom_key = (tuple(planes), tuple(borders), tuple(ndecs), tuple(mct),
-                    tuple(tci), g0.cbps, F * total)
+        gm = _Geometry(planes=planes, borders=tuple(borders),
+                       ndecs=tuple(ndecs), mct=tuple(mct),
+                       tile_comp_index=[list(t) for t in tci],
+                       cbps=g0.cbps, total=F * total,
+                       transform=g0.transform)
 
-        keys = sorted(merged.keys())
-        shapes, bucket_args = [], []
-        for key in keys:
-            args, n = _bucket_arrays(merged[key])
-            w, h = key[0], key[1]
-            shapes.append((-(-w // 2), -(-h // 2), w, h))
-            bucket_args.append({k: jnp.asarray(v) for k, v in args.items()})
-
-        nz = np.nonzero(prefill[:-1])[0]
-        pf_idx = jnp.asarray(nz.astype(np.int32)) if len(nz) else \
-            jnp.asarray(np.array([F * total], np.int32))
-        pf_val = jnp.asarray(prefill[nz].astype(np.int32)) if len(nz) else \
-            jnp.asarray(np.zeros(1, np.int32))
-        mus, oks = _entropy_stage(shapes, bucket_args)
-        fn = _compiled_assembly(tuple(shapes), geom_key)
-        buf = np.asarray(fn(pf_idx, pf_val, mus, oks, bucket_args))
+        buf = np.asarray(self._dispatch(gm, merged, prefill))
         if buf[-1] == 0:
             raise InvalidData("invalid HT codestream (U bound violated)")
 
@@ -584,6 +647,36 @@ class Decoder:
             frames.append(self._assemble_frame(hdr, tiles, outs))
         return frames
 
+    def _dispatch(self, geom: _Geometry, buckets, prefill):
+        """Pack buckets, upload, and run entropy + assembly (no host sync).
+
+        The single shared tail of _launch (one frame) and decode_batch
+        (merged frames): bucket packing, sparse prefill upload, entropy
+        kernels, and the per-geometry assembly program.
+        """
+        import jax.numpy as jnp
+
+        keys = sorted(buckets.keys())
+        shapes, bucket_args = [], []
+        for key in keys:
+            args, _n = _bucket_arrays(buckets[key])
+            w, h = key[0], key[1]
+            shapes.append((-(-w // 2), -(-h // 2), w, h))
+            bucket_args.append({k: jnp.asarray(v) for k, v in args.items()})
+
+        # sparse prefill: only the host-decoded sliver coefficients cross
+        # the link (the dense buffer is materialized on device)
+        nz = np.nonzero(prefill[:-1])[0]
+        if len(nz):
+            pf_idx = jnp.asarray(nz.astype(np.int32))
+            pf_val = jnp.asarray(prefill[nz])
+        else:
+            pf_idx = jnp.asarray(np.array([geom.total], np.int32))
+            pf_val = jnp.asarray(np.zeros(1, prefill.dtype))
+        mus, oks = _entropy_stage(shapes, bucket_args)
+        fn = _compiled_assembly(tuple(shapes), geom.key())
+        return fn(pf_idx, pf_val, mus, oks, bucket_args)
+
     def _launch(self, hdr, tiles):
         """Upload + dispatch the device program; no host sync.
 
@@ -592,34 +685,8 @@ class Decoder:
         sync points to one per frame lets callers software-pipeline
         (parse frame n+1 while the device decodes frame n).
         """
-        import jax.numpy as jnp
-
         geom, buckets, prefill = _build_batch(hdr, tiles)
-        keys = sorted(buckets.keys())
-        bucket_args = []
-        shapes = []
-        for key in keys:
-            b = buckets[key]
-            args, n = _bucket_arrays(b)
-            w, h = key[0], key[1]
-            qw, qh = -(-w // 2), -(-h // 2)
-            shapes.append((qw, qh, w, h))
-            bucket_args.append({k: jnp.asarray(v) for k, v in args.items()})
-
-        geom_key = (tuple(geom.planes), geom.borders, geom.ndecs, geom.mct,
-                    tuple(tuple(i) for i in geom.tile_comp_index),
-                    geom.cbps, geom.total)
-        # sparse prefill: only the host-decoded sliver coefficients cross
-        # the link (the dense buffer is materialized on device)
-        nz = np.nonzero(prefill[:-1])[0]
-        pf_idx = jnp.asarray(nz.astype(np.int32)) if len(nz) else \
-            jnp.asarray(np.array([geom.total], np.int32))
-        pf_val = jnp.asarray(prefill[nz].astype(np.int32)) if len(nz) else \
-            jnp.asarray(np.zeros(1, np.int32))
-        mus, oks = _entropy_stage(shapes, bucket_args)
-        fn = _compiled_assembly(tuple(shapes), geom_key)
-        packed = fn(pf_idx, pf_val, mus, oks, bucket_args)
-        return geom, packed
+        return geom, self._dispatch(geom, buckets, prefill)
 
     def _device_decode(self, hdr, tiles) -> DecodedFrame:
         geom, packed = self._launch(hdr, tiles)

@@ -35,17 +35,24 @@ def dequant_int(src: np.ndarray, i_stepsize: int, magb: int) -> np.ndarray:
     return out.astype(np.int32)
 
 
-def dequant_int_97(src: np.ndarray, f_stepsize: float, magb: int) -> np.ndarray:
-    """jpeg2000dec.c:2153-2181 (bitexact 9/7 integer path, PRESCALE=6)."""
+PRESCALE = 6
+
+
+def int97_scale(f_stepsize: float, magb: int) -> int:
+    """The integer Q16 scale of the bitexact 9/7 path, reproducing the
+    reference's float32 chain (jpeg2000dec.c:2158-2166). Shared by the
+    host oracle and the device assembly so both dequantize identically."""
     downshift = 31 - magb
-    PRESCALE = 6
-    fscale = np.float64(np.float32(f_stepsize))
-    # reproduce the reference's float32 chain then int conversion
     f = np.float32(f_stepsize)
     f = f / np.float32(1 << downshift)
     f = f * np.float32(1 << PRESCALE)
     f = f * np.float32(1 << (16 + I_PRESHIFT))
-    scale = int(np.float32(f) + np.float32(0.5))
+    return int(np.float32(f) + np.float32(0.5))
+
+
+def dequant_int_97(src: np.ndarray, f_stepsize: float, magb: int) -> np.ndarray:
+    """jpeg2000dec.c:2153-2181 (bitexact 9/7 integer path, PRESCALE=6)."""
+    scale = int97_scale(f_stepsize, magb)
 
     val = src.astype(np.int64)
     neg = val < 0
