@@ -1,12 +1,23 @@
 #!/usr/bin/env python3
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline: HTJ2K decode throughput in frames/sec/chip through the TPU
-pipeline (models/decoder.Decoder). Baseline target is 60 fps for 4K
-4:4:4 10-bit (BASELINE.json); vs_baseline = value / 60 scaled by the
-config actually run. While the pipeline is being built out the bench
-runs config 1 (512x512 8-bit grayscale lossless) and reports fps
-against the same 60 fps bar.
+Headline: config 3 of BASELINE.json — 4K 10-bit 4:4:4 HTJ2K intra decode
+through the TPU pipeline (models/decoder.Decoder), frames/sec/chip, with
+vs_baseline = fps / 60 (the north-star bar is defined for exactly this
+config, so the ratio is unscaled and honest). The other BASELINE configs
+are measured too and shipped in the same JSON line under "detail":
+
+  1. 512x512 8-bit gray lossless (5/3), 16-frame motion batch
+  2. 1920x1080 8-bit RGB lossy 9/7 + ICT (float path, ffmpeg's default)
+  3. 4K 10-bit 4:4:4 lossless, 64x64 codeblocks   <- headline
+  4. 8K tiled (1024x1024 tiles) 10-bit lossless
+  5. N=2 parallel 4K motion streams, 2 frames each, one merged launch
+
+Numbers include host parse + stream prep + transfers + device compute
+(the tunneled link is the wall for the big configs; mb_out/frame is
+reported so the link-bound share is visible). Each config takes the best
+of `reps` timed runs after a warmup/compile run — the shared tunnel chip
+jitters 2-3x run to run.
 """
 
 import json
@@ -16,39 +27,101 @@ import time
 import numpy as np
 
 
+def _smooth(h, w, lo=0, hi=255, dtype=np.uint8):
+    x = np.linspace(0, 11, w)
+    y = np.linspace(0, 7, h)
+    base = np.sin(y[:, None]) * np.cos(x[None, :])
+    return (((base + 1) / 2) * (hi - lo) + lo).astype(dtype)
+
+
+def _time_batch(dec, streams, reps=3):
+    from ffmpeg_ht_tpu.models.decoder import Decoder  # noqa: F401
+    frames = dec.decode_batch(streams)  # compile + warmup
+    mb_out = sum(f.tobytes().__len__() for f in frames) / 1e6
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        dec.decode_batch(streams)
+        best = min(best, time.perf_counter() - t0)
+    return len(streams) / best, mb_out / len(streams)
+
+
 def main() -> None:
     from ffmpeg_ht_tpu.models.decoder import Decoder
     from ffmpeg_ht_tpu.models.encoder import encode_frame_htj2k
 
     rng = np.random.default_rng(0)
-    # config 1/5 hybrid: 512x512 8-bit grayscale lossless Motion-HTJ2K,
-    # decoded as a 16-frame batch (the serving mode: frames merge into
-    # the entropy kernel's lane axis)
-    F = 16
+    detail = {}
+    dec = Decoder(bitexact=True)
+
+    # config 1: 512x512 8-bit gray lossless motion batch (16 frames)
     imgs = [rng.integers(0, 256, (512, 512), dtype=np.uint8)
-            for _ in range(F)]
+            for _ in range(16)]
     streams = [encode_frame_htj2k(i, tile_width=512, tile_height=512,
                                   log2_cblk_width=6, log2_cblk_height=6)
                for i in imgs]
-
-    dec = Decoder(bitexact=True)
-    frames = dec.decode_batch(streams)  # compile + warmup
+    frames = dec.decode_batch(streams)
     assert all(f.tobytes() == i.tobytes() for f, i in zip(frames, imgs)), \
-        "bench decode not lossless"
+        "config-1 decode not lossless"
+    fps, mb = _time_batch(dec, streams, reps=4)
+    detail["c1_512_gray_lossless"] = {"fps": round(fps, 3),
+                                      "mb_out_per_frame": round(mb, 2)}
+    print(f"# c1 512x512 gray lossless: {fps:.2f} fps", file=sys.stderr)
 
-    # best sustained batch of 4: the tunneled link/chip is shared, so the
-    # min is the honest device+pipeline number (mean folds in congestion)
-    best = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        dec.decode_batch(streams)
-        best = min(best, time.perf_counter() - t0)
-    fps = F / best
+    # config 2: 1080p RGB lossy 9/7 + ICT, float path (ffmpeg default),
+    # 4-frame batch
+    base = _smooth(1080, 1920)
+    rgb = [np.stack([np.roll(base, i, 1), base[::-1], base], axis=2)
+           for i in range(4)]
+    streams = [encode_frame_htj2k(f, pred=0, mct=True, tile_width=2048,
+                                  tile_height=2048, log2_cblk_width=6,
+                                  log2_cblk_height=6, nreslevels=6)
+               for f in rgb]
+    dec_f = Decoder(bitexact=False)
+    fps, mb = _time_batch(dec_f, streams)
+    detail["c2_1080p_rgb_lossy_ict"] = {"fps": round(fps, 3),
+                                        "mb_out_per_frame": round(mb, 2)}
+    print(f"# c2 1080p RGB 9/7+ICT: {fps:.2f} fps", file=sys.stderr)
+
+    # config 3 (headline): 4K 10-bit 4:4:4 lossless, 64x64 codeblocks
+    b10 = _smooth(2160, 3840, 0, 1023, np.uint16)
+    f4k = [np.stack([b10, np.roll(b10, 5, 1), np.roll(b10, 9, 0)], axis=2)]
+    streams_4k = [encode_frame_htj2k(f, depth=10, tile_width=4096,
+                                     tile_height=4096, log2_cblk_width=6,
+                                     log2_cblk_height=6)
+                  for f in f4k]
+    fps4k, mb = _time_batch(dec, streams_4k, reps=3)
+    detail["c3_4k_444_10bit_lossless"] = {"fps": round(fps4k, 3),
+                                          "mb_out_per_frame": round(mb, 2)}
+    print(f"# c3 4K 4:4:4 10-bit: {fps4k:.3f} fps", file=sys.stderr)
+
+    # config 4: 8K tiled 10-bit gray lossless (1024x1024 tiles)
+    b8k = _smooth(4320, 7680, 0, 1023, np.uint16)
+    streams = [encode_frame_htj2k(b8k, depth=10, tile_width=1024,
+                                  tile_height=1024, log2_cblk_width=6,
+                                  log2_cblk_height=6)]
+    fps, mb = _time_batch(dec, streams, reps=2)
+    detail["c4_8k_tiled_10bit"] = {"fps": round(fps, 3),
+                                   "mb_out_per_frame": round(mb, 2)}
+    print(f"# c4 8K tiled: {fps:.3f} fps", file=sys.stderr)
+
+    # config 5: N=2 parallel 4K motion streams x 2 frames, merged launch
+    streams = streams_4k * 2 + [
+        encode_frame_htj2k(np.stack([np.roll(b10, k, 1)] * 3, axis=2),
+                           depth=10, tile_width=4096, tile_height=4096,
+                           log2_cblk_width=6, log2_cblk_height=6)
+        for k in (3, 7)]
+    fps, mb = _time_batch(dec, streams, reps=2)
+    detail["c5_2x4k_motion"] = {"fps": round(fps, 3),
+                                "mb_out_per_frame": round(mb, 2)}
+    print(f"# c5 2x4K motion: {fps:.3f} fps", file=sys.stderr)
+
     print(json.dumps({
-        "metric": "decode_fps_512x512_gray_lossless_motion_tpu",
-        "value": round(fps, 3),
+        "metric": "decode_fps_4k_444_10bit_lossless_tpu",
+        "value": round(fps4k, 3),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / 60.0, 4),
+        "vs_baseline": round(fps4k / 60.0, 4),
+        "detail": detail,
     }))
 
 
