@@ -47,6 +47,13 @@ def _time_batch(dec, streams, reps=3):
 
 
 def main() -> None:
+    # persistent XLA cache: the v2 entropy kernels compile per
+    # (shape-class, lane-count, width) variant; cache them across runs
+    import os
+    os.environ.setdefault("FFMPEG_HT_TPU_CACHE",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".xla_cache"))
+
     from ffmpeg_ht_tpu.models.decoder import Decoder
     from ffmpeg_ht_tpu.models.encoder import encode_frame_htj2k
 

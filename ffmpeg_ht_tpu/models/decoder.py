@@ -4,16 +4,17 @@ Host/device split per SURVEY.md §7: the byte-serial work (codestream parse,
 T2 packet headers, HT segment lengths) stays on host; everything after is
 one jitted device program per codestream *geometry*:
 
-  entropy (ops/ht_batch lockstep kernel, bucketed by codeblock shape)
+  entropy (ops/ht_scan lockstep kernel, bucketed by codeblock shape)
   -> dequant + scatter into a flat coefficient buffer
   -> inverse DWT per tile-component (ops/dwt_jax)
   -> inverse MCT (RCT) + DC shift/clip
 
 The geometry (tile grid, codeblock buckets, plane offsets) is static per
 (image parameters); jit caches one executable per geometry, so steady-state
-decode is host parse + one device launch. Codeblocks the device path does
-not support (legacy MQ, SigProp/MagRef refinement, ROI, 9/7) fall back to
-the host oracle decoder (models/host_decoder.py) transparently.
+decode is host parse + one device launch. SigProp/MagRef refinement runs
+on device too (ops/ht_refine.py). Codeblocks the device path does not
+support (legacy MQ, ROI, HT-causal refinement) fall back to the host
+oracle decoder (models/host_decoder.py) transparently.
 
 Multi-frame throughput: `decode_batch` concatenates many same-geometry
 frames into the same buckets (lanes scale, one launch); multi-chip scaling
@@ -93,6 +94,12 @@ class _Bucket:
     fscale: List[float] = field(default_factory=list)  # float dequant scale
     dest: List[int] = field(default_factory=list)    # flat index of (y0,x0)
     stride: List[int] = field(default_factory=list)  # plane row stride
+    dref: List[bytes] = field(default_factory=list)  # refinement segment
+    zblk: List[int] = field(default_factory=list)    # 1..3 HT passes
+
+    @property
+    def refined(self) -> bool:
+        return any(z > 1 for z in self.zblk)
 
 
 @dataclass
@@ -173,16 +180,21 @@ def _build_batch(hdr, tiles: List[Tile]):
                                         if num_rempass
                                         else cblk.npasses - 3)
                             z_blk = cblk.npasses - num_plhd
-                            if w * h < _HOST_AREA or z_blk != 1:
-                                # tiny edge slivers and blocks with
-                                # SigProp/MagRef refinement: scalar host
-                                # decode into the prefill buffer
+                            causal = bool(cblk.modes & mk.CBLK_VSC)
+                            if w * h < _HOST_AREA or cblk.zbp + 1 > 25 \
+                                    or (z_blk > 1 and causal):
+                                # tiny edge slivers, extreme-bitplane
+                                # blocks (the kernel's MagSgn reads cap
+                                # at 25 bits/sample), and HT-causal
+                                # refinement (rare; the device SigProp
+                                # kernel doesn't model causal_cond):
+                                # scalar host decode into the prefill
                                 from ffmpeg_ht_tpu.ops import dequant as dq
                                 from ffmpeg_ht_tpu.ops import ht_dec
                                 t1 = ht_dec.decode_htj2k(
                                     bytes(cblk.data), cblk.npasses,
                                     cblk.zbp, cblk.pass_lengths, w, h,
-                                    magb, 0, 0)
+                                    magb, 0, int(causal))
                                 if transform == mk.DWT97:
                                     blk = dq.dequant_float(
                                         t1, band.f_stepsize, magb)
@@ -236,6 +248,14 @@ def _build_batch(hdr, tiles: List[Tile]):
                                 if transform == mk.DWT97 else 0.0)
                             b.dest.append(dest)
                             b.stride.append(pstride)
+                            b.zblk.append(z_blk)
+                            if z_blk > 1:
+                                lref = cblk.pass_lengths[1]
+                                b.dref.append(
+                                    (bytes(cblk.data[lcup:lcup + lref]),
+                                     lref))
+                            else:
+                                b.dref.append((b"", 0))
 
     geom = _Geometry(planes=planes, borders=tuple(borders),
                      ndecs=tuple(ndecs),
@@ -286,6 +306,40 @@ def _bucket_arrays(b: _Bucket):
         a[:n] = vals
         return a
 
+    extra = {}
+    if b.refined:
+        from ffmpeg_ht_tpu.ops.ht_batch import (prepare_magref_stream,
+                                                prepare_sigprop_stream)
+        # information-theoretic caps keep malformed lref from blowing up
+        # the byte matrices: SigProp consumes <= 2 bits/sample (<= 8192),
+        # MagRef <= 1 bit/sample (<= 4096); at the worst 7 payload
+        # bits/byte these prefixes/suffixes cover every reachable bit
+        SP_CAP, MR_CAP = 1200, 650
+        lsp = np.zeros(npad, np.int64)
+        lmr = np.zeros(npad, np.int64)
+        spmax = max(min(lr, SP_CAP) for _, lr in b.dref)
+        mrmax = max(min(lr, MR_CAP) for _, lr in b.dref)
+        dsp = np.zeros((npad, max(spmax, 4)), np.uint8)
+        dmr = np.zeros((npad, max(mrmax, 4)), np.uint8)
+        for i, (dr, lr) in enumerate(b.dref):
+            ls = min(lr, SP_CAP)
+            row = np.frombuffer(dr[:ls], np.uint8)
+            dsp[i, :len(row)] = row
+            lsp[i] = ls
+            lm = min(lr, MR_CAP)
+            # suffix: the backward reader starts at byte lref-1; bytes
+            # past the stored data are zeros (oracle zero-extension)
+            tail = dr[max(lr - MR_CAP, 0):lr]
+            trow = np.frombuffer(tail, np.uint8)
+            dmr[i, lm - len(trow):lm] = trow
+            lmr[i] = lm
+        extra = dict(
+            spw=prepare_sigprop_stream(dsp, lsp),
+            mrw=prepare_magref_stream(dmr, lmr),
+            has_sp=vec([z >= 2 for z in b.zblk], 0, bool),
+            has_mr=vec([z >= 3 for z in b.zblk], 0, bool),
+        )
+
     return dict(
         msw=msw,
         melw=melw,
@@ -293,6 +347,7 @@ def _bucket_arrays(b: _Bucket):
         ms_lim=ms_lim,
         mel_lim=mel_lim,
         pLSB=vec(b.pLSB, 2),
+        **extra,
         maxbp=vec(b.maxbp, 32),
         magb=vec(b.magb, 8),
         istep=vec(b.istep, 32768),
@@ -332,17 +387,31 @@ def _enable_persistent_cache():
 def _entropy_stage(shapes, bucket_args):
     """Run the globally-cached entropy kernel per bucket.
 
-    decode_cleanup_bucket is itself jitted keyed on (input shapes, qw, qh),
-    so the expensive kernels compile once per codeblock shape and are
-    shared across every geometry/image that uses that shape.
+    decode_cleanup_scan is jitted keyed on (input shapes, qw, qh,
+    ms_class), so each kernel compiles once per codeblock shape class and
+    is shared across every geometry/image that uses that class.
     """
-    from ffmpeg_ht_tpu.ops.ht_batch import decode_cleanup_words
+    from ffmpeg_ht_tpu.ops.ht_refine import decode_refinement_scan
+    from ffmpeg_ht_tpu.ops.ht_scan import (decode_cleanup_scan,
+                                           decode_cleanup_scan_sig)
 
     mus, oks = [], []
-    for (qw, qh, w, h), args in zip(shapes, bucket_args):
-        mu, ok = decode_cleanup_words(
-            args["msw"], args["melw"], args["vlcw"], args["pLSB"],
-            args["maxbp"], qw, qh, args["ms_lim"], args["mel_lim"])
+    for (qw, qh, w, h, ms_class, refined), args in zip(shapes, bucket_args):
+        if refined:
+            # SigProp/MagRef lanes: cleanup keeps the sig patterns, then
+            # the refinement kernel applies both passes and rasterizes
+            mu, sig, ok = decode_cleanup_scan_sig(
+                args["msw"], args["melw"], args["vlcw"], args["pLSB"],
+                args["maxbp"], args["ms_lim"], args["mel_lim"],
+                qw=qw, qh=qh, ms_class=ms_class)
+            mu = decode_refinement_scan(
+                mu, sig, args["spw"], args["mrw"], args["pLSB"],
+                args["has_sp"], args["has_mr"], qw=qw, qh=qh, w=w, h=h)
+        else:
+            mu, ok = decode_cleanup_scan(
+                args["msw"], args["melw"], args["vlcw"], args["pLSB"],
+                args["maxbp"], args["ms_lim"], args["mel_lim"],
+                qw=qw, qh=qh, ms_class=ms_class)
         mus.append(mu)
         oks.append(ok)
     return mus, oks
@@ -374,12 +443,13 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
         flat = jnp.zeros((total + 1,), flat_dtype)
         flat = flat.at[pf_idx].set(pf_val)
 
-        for (qw, qh, w, h), mu, args in zip(bucket_shapes, mus, bucket_args):
-            # mu is in quad layout (N, QH_MAX, 4*QW_MAX): quad (qr, qc)
-            # corner i at [:, qr, 4*qc+i] with dy=i&1, dx=i>>1. Slice to
-            # the bucket's real quad grid (static), dequant, and fold the
-            # quad->raster permutation into the scatter's index math.
-            mu = mu[:, :qh, :4 * qw]
+        for (qw, qh, w, h, _msc, refined), mu, args in zip(
+                bucket_shapes, mus, bucket_args):
+            # Cleanup-only buckets arrive in quad layout (N, qh, 4*qw):
+            # quad (qr, qc) corner i at [:, qr, 4*qc+i] with dy=i&1,
+            # dx=i>>1 — the quad->raster permutation folds into the
+            # scatter's index math. Refined buckets arrive already
+            # rasterized (N, 2qh, 2qw) by the refinement kernel.
             val = mu.astype(jnp.uint32)
             neg = (val >> 31) == 1
             mag = (val & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
@@ -407,11 +477,15 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
                                  (coef * istep) >> 16, coef)
             # scatter into the flat buffer; dest<0 lanes and out-of-block
             # padding samples go to the trash slot
-            qr = jnp.arange(qh, dtype=jnp.int32)[None, :, None]
-            t = jnp.arange(4 * qw, dtype=jnp.int32)[None, None, :]
-            qc = t >> 2
-            y = 2 * qr + (t & 1)
-            x = 2 * qc + ((t >> 1) & 1)
+            if refined:
+                y = jnp.arange(2 * qh, dtype=jnp.int32)[None, :, None]
+                x = jnp.arange(2 * qw, dtype=jnp.int32)[None, None, :]
+            else:
+                qr = jnp.arange(qh, dtype=jnp.int32)[None, :, None]
+                t = jnp.arange(4 * qw, dtype=jnp.int32)[None, None, :]
+                qc = t >> 2
+                y = 2 * qr + (t & 1)
+                x = 2 * qc + ((t >> 1) & 1)
             base = args["dest"][:, None, None]
             stride = args["stride"][:, None, None]
             idx = base + y * stride + x
@@ -606,7 +680,8 @@ class Decoder:
             for key, b in bmap.items():
                 m = merged.setdefault(key, _Bucket(b.w, b.h))
                 for fld in ("rows", "lcup", "pcup", "pLSB", "maxbp", "magb",
-                            "istep", "scale97", "fscale", "stride"):
+                            "istep", "scale97", "fscale", "stride",
+                            "dref", "zblk"):
                     getattr(m, fld).extend(getattr(b, fld))
                 m.dest.extend(d + f * total for d in b.dest)
         prefill = np.concatenate([p[:-1] for p in prefills]
@@ -661,7 +736,12 @@ class Decoder:
         for key in keys:
             args, _n = _bucket_arrays(buckets[key])
             w, h = key[0], key[1]
-            shapes.append((-(-w // 2), -(-h // 2), w, h))
+            # quantized MagSgn budget class: static per executable, must
+            # bound every real lane's maxbp (blocks > 25 went to host)
+            mb = max(buckets[key].maxbp)
+            ms_class = next(c for c in (8, 12, 16, 20, 25) if mb <= c)
+            shapes.append((-(-w // 2), -(-h // 2), w, h, ms_class,
+                           buckets[key].refined))
             bucket_args.append({k: jnp.asarray(v) for k, v in args.items()})
 
         # sparse prefill: only the host-decoded sliver coefficients cross

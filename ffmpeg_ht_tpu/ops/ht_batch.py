@@ -1,47 +1,22 @@
-"""Batched HT cleanup decoder — the TPU entropy kernel (SURVEY.md K1).
+"""Host stream preparation for the TPU HT entropy kernel.
 
-TPU-first formulation of the bit-serial HT cleanup scan (scalar oracle in
-ops/ht_dec.py; reference jpeg2000htdec.c:548-1014), in two stages:
+Byte-level concerns of the three HT cleanup bit streams -- the backward
+VLC byte order, all three bit-unstuffing rules, modDcup and the Scup
+nibble (scalar oracle in ops/ht_dec.py; reference jpeg2000htdec.c:145-295)
+-- are *data-independent* given the segment bytes, so the host flattens
+each codeblock's MagSgn/MEL/VLC segments into dense little-endian bit
+streams packed as uint32 words. This removes every byte-gather and
+stuffing branch from the device inner loop.
 
-1. **Host stream preparation** (prepare_streams, numpy): byte-level
-   concerns — the backward VLC byte order, all three bit-unstuffing rules
-   and the Scup nibble — are *data-independent* given the segment bytes,
-   so the host flattens each codeblock's MagSgn/MEL/VLC segments into
-   dense little-endian bit streams packed as uint32 words. This removes
-   every byte-gather and stuffing branch from the device inner loop.
-
-2. **Device lockstep scan**: every per-codeblock scalar of the reference
-   becomes an (N,)-lane vector; a read from any stream is two word
-   gathers + a funnel shift (_bits_read). The quad-pair scan is a
-   fori_loop whose trip counts are *traced* scalars, so one compiled
-   executable — keyed only on (N, words) array shapes — serves every
-   codeblock geometry up to 64x64. Within a codeblock the scan stays
-   sequential (same dependency structure as the reference); throughput
-   comes from the N-lane width.
-
-Everything is uint32/int32 — no x64 dependency.
+The device kernel consuming these words lives in ops/ht_scan.py (the
+scan-structured lockstep formulation). A C implementation of the same
+prep (native/htprep.c) is used when available; this numpy version is the
+tested fallback and the specification.
 """
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
-
-from ffmpeg_ht_tpu.ops import tables as tb
-
-I32 = jnp.int32
-U32 = jnp.uint32
-
-NQ_MAX = 1024   # quad capacity: codeblocks up to 64x64 samples
-HW_MAX = 64     # raster capacity per axis
-
-# numpy table constants; jnp.asarray at use sites embeds them as trace
-# constants (a module-level jnp cache would leak tracers out of fori_loop)
-_CXTVLC_NP = tb.CXTVLC_PACKED.astype(np.int32)          # (2, 1024)
-_MEL_E_NP = tb.MEL_E.astype(np.int32)                   # (13,)
-_UVLC_VAL_NP = tb.UVLC_PREFIX_VALUE.astype(np.int32)
-_UVLC_DROP_NP = tb.UVLC_PREFIX_DROP.astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -194,6 +169,61 @@ def stream_limits(data, lcup, pcup):
             ((tot_mel + 64) // 32).astype(np.int32))
 
 
+def prepare_sigprop_stream(dref, lref):
+    """Densify SigProp's forward Dref bits (oracle _SPBits,
+    jpeg2000htdec.c:442-460): LSB-first, a byte preceded by 0xFF
+    contributes its low 7 bits; past the segment end the reader sees
+    zeros, which the zero-padded words reproduce.
+
+    dref: uint8 (N, L) refinement-segment byte rows (a prefix suffices:
+    SigProp consumes at most 2 bits/sample); lref: (N,) lengths."""
+    dref = np.asarray(dref, np.uint8)
+    n, l = dref.shape
+    lref = np.asarray(lref, np.int64)
+    cols = np.arange(l)[None, :]
+    valid = cols < lref[:, None]
+    prev = np.concatenate([np.zeros((n, 1), np.uint8), dref[:, :-1]], axis=1)
+    nbits = np.where(prev == 0xFF, 7, 8)
+    bits, _tot = _scatter_bits(dref, nbits, valid, False)
+    return _trim_pow2(_pack_words(bits))
+
+
+def prepare_magref_stream(dref, lref):
+    """Densify MagRef's backward Dref bits (oracle _RevBits from byte
+    lref-1 with the synthetic 0xFF trailer, jpeg2000htdec.c:1137-1149 +
+    :1260): bytes in descending order, LSB-first, MSB dropped when the
+    preceding byte in reading order is > 0x8F and the low 7 bits are all
+    ones; past the segment start the reader sees zeros.
+
+    dref/lref as in prepare_sigprop_stream (a suffix suffices: MagRef
+    consumes at most 1 bit/sample — callers passing a suffix adjust
+    lref to the stored length). _trim_pow2 always leaves a zero tail
+    column, which decode_refinement_scan's clipped rank gather relies
+    on."""
+    dref = np.asarray(dref, np.uint8)
+    n, l = dref.shape
+    lref = np.asarray(lref, np.int64)
+    ncols = max(int(lref.max()) if n else 1, 1)
+    k = np.arange(ncols)[None, :]
+    src = (lref[:, None] - 1) - k
+    inside = src >= 0
+    srcc = np.clip(src, 0, l - 1)
+    cur = np.take_along_axis(dref, srcc, axis=1)
+    cur = np.where(inside, cur, 0)
+    prevv = np.take_along_axis(dref, np.clip(src + 1, 0, l - 1), axis=1)
+    prevv = np.where(k == 0, 0xFF, prevv)    # synthetic Dref trailer byte
+    stuffed = (prevv > 0x8F) & ((cur & 0x7F) == 0x7F)
+    nbits = np.where(stuffed, 7, 8)
+    bits, _tot = _scatter_bits(cur, nbits, inside, False)
+    return _trim_pow2(_pack_words(bits))
+
+
+def prepare_refinement_streams(dref, lref):
+    """Both refinement streams from one full Dref byte matrix."""
+    return (prepare_sigprop_stream(dref, lref),
+            prepare_magref_stream(dref, lref))
+
+
 def _trim_pow2(a: np.ndarray) -> np.ndarray:
     """Trim trailing all-zero word columns, then pad to a pow2 width.
 
@@ -229,537 +259,3 @@ def prepare_streams(rows, lcups, pcups):
         data[i, :len(r)] = r
     return prepare_streams_batch(data, np.asarray(lcups),
                                  np.asarray(pcups))
-
-
-# ---------------------------------------------------------------------------
-# device bit reader: dense uint32 word streams with a per-lane 64-bit
-# window register. Peeks are register-only; a word fetch (one-hot gather,
-# cheaper than native gather on TPU) happens only when some lane's read
-# position crosses a word boundary, and is skipped entirely (lax.cond)
-# when no lane crossed.
-# ---------------------------------------------------------------------------
-
-_NO_LIM = 1 << 29  # forward-stream sentinel: never synthesize, OOB reads 0
-
-
-def st_init(words, lim=None):
-    """Stream state: (pos, widx, lo, hi, lim).
-
-    window = bits [32*widx, 32*widx+64). `lim` (per-lane, optional) is the
-    first word index past the stream's stored content: fetches at/past it
-    synthesize all-ones words, mirroring the reference's unbounded 0xFF
-    synthesis past the segment end (jpeg2000htdec.c:207-221) so malformed
-    streams that over-read decode identically to the scalar oracle. Streams
-    prepared with the 64-bit ones tail always store >= 2 valid words, so
-    the initial window never needs synthesis."""
-    N, W = words.shape
-    z = jnp.zeros((N,), I32)
-    lo = words[:, 0]
-    hi = words[:, 1] if W > 1 else jnp.zeros((N,), U32)
-    if lim is None:
-        lim = jnp.full((N,), _NO_LIM, I32)
-    return (z, z, lo, hi, jnp.asarray(lim, I32))
-
-
-def _fetch(words, idx, lim):
-    """Per-lane word gather as a one-hot reduce (idx >= lim reads ~0,
-    OOB below lim reads 0)."""
-    W = words.shape[1]
-    ar = jnp.arange(W, dtype=I32)[None, :]
-    sel = ar == idx[:, None]
-    val = jnp.sum(jnp.where(sel, words, jnp.uint32(0)), axis=1, dtype=U32)
-    return jnp.where(idx >= lim, jnp.uint32(0xFFFFFFFF), val)
-
-
-def _st_window(st):
-    """The 32 bits at the current position (register-only, no memory)."""
-    pos, widx, lo, hi, _ = st
-    off = (pos - (widx << 5)).astype(U32)
-    return (lo >> off) | jnp.where(off == 0, jnp.uint32(0),
-                                   hi << (jnp.uint32(32) - off))
-
-
-def st_peek(st, n: int):
-    """Peek n (static, < 32) bits."""
-    return _st_window(st) & ((jnp.uint32(1) << n) - 1)
-
-
-def st_advance(words, st, n, active):
-    """Consume n (per-lane, <= 25) bits; refill the window if needed."""
-    pos, widx, lo, hi, lim = st
-    pos = pos + jnp.where(active, n, 0).astype(I32)
-    shift = (pos >> 5) > widx  # advances by at most one word (n <= 25)
-
-    def refill(args):
-        pos, widx, lo, hi, lim = args
-        nhi = _fetch(words, widx + 2, lim)
-        lo2 = jnp.where(shift, hi, lo)
-        hi2 = jnp.where(shift, nhi, hi)
-        return pos, widx + shift.astype(I32), lo2, hi2, lim
-
-    return jax.lax.cond(jnp.any(shift), refill, lambda a: a,
-                        (pos, widx, lo, hi, lim))
-
-
-def st_get(words, st, n, active):
-    """Read n (per-lane, <= 25) bits LSB-first."""
-    nn = jnp.where(active & (n > 0), n, 0).astype(U32)
-    mask = (jnp.uint32(1) << nn) - 1
-    val = _st_window(st) & mask
-    return val, st_advance(words, st, nn.astype(I32), active)
-
-
-# ---------------------------------------------------------------------------
-# MEL decoder (jpeg2000htdec.c:462-495)
-# ---------------------------------------------------------------------------
-
-def mel_sym(melw, st, active):
-    """One MEL symbol for active lanes. st = (stream, k, run, one).
-
-    The whole symbol machine is cond-skipped when no lane is active
-    (common in non-initial rows where quad contexts are rarely zero)."""
-    def skip(args):
-        st, active = args
-        return jnp.zeros(active.shape, I32), st
-
-    def run_it(args):
-        st, active = args
-        sym, st = _mel_sym_impl(melw, st, active)
-        return sym.astype(I32), st  # pin dtype for x64 mode
-
-    return jax.lax.cond(jnp.any(active), run_it, skip, (st, active))
-
-
-def _mel_sym_impl(melw, st, active):
-    sst, k, run, one = st
-    mel_e = jnp.asarray(_MEL_E_NP)
-    fresh = active & (run == 0) & (one == 0)
-    eval_ = mel_e[jnp.clip(k, 0, 12)]
-    bit, sst = st_get(melw, sst, jnp.where(fresh, 1, 0), fresh)
-    bit = bit.astype(I32)
-    hit = fresh & (bit == 1)
-    miss = fresh & (bit == 0)
-    # miss: read eval_ bits MSB-first -> bit-reverse the LSB-first read
-    mv, sst = st_get(melw, sst, jnp.where(miss, eval_, 0), miss)
-    mv = mv.astype(I32)
-    mrun = jnp.zeros_like(run)
-    for j in range(7):
-        take = miss & (j < eval_)
-        mrun = jnp.where(take,
-                         mrun | (((mv >> j) & 1) << jnp.maximum(
-                             eval_ - 1 - j, 0)), mrun)
-    run = jnp.where(hit, jnp.int32(1) << eval_,
-                    jnp.where(miss, mrun, run))
-    k = jnp.where(hit, jnp.minimum(12, k + 1),
-                  jnp.where(miss, jnp.maximum(0, k - 1), k))
-    one = jnp.where(miss, 1, jnp.where(hit, 0, one))
-
-    in_run = active & (run > 0)
-    sym = jnp.where(in_run, 0, 1)
-    run = jnp.where(in_run, run - 1, run)
-    one = jnp.where(active & ~in_run, 0, one)
-    return jnp.where(active, sym, 0), (sst, k, run, one)
-
-
-# ---------------------------------------------------------------------------
-# U-VLC (jpeg2000htdec.c:338-388)
-# ---------------------------------------------------------------------------
-
-def _u_prefix(vlcw, vst, active):
-    uval = jnp.asarray(_UVLC_VAL_NP)
-    udrop = jnp.asarray(_UVLC_DROP_NP)
-    bits3 = st_peek(vst, 3).astype(I32)
-    val = uval[bits3]
-    vst = st_advance(vlcw, vst, jnp.where(active, udrop[bits3], 0), active)
-    return jnp.where(active, val, 0), vst
-
-
-def _u_suffix(vlcw, vst, prefix, active):
-    has = active & (prefix >= 3)
-    bits5 = st_peek(vst, 5).astype(I32)
-    is3 = has & (prefix == 3)
-    is5 = has & (prefix > 3)
-    val = jnp.where(is3, bits5 & 1, jnp.where(is5, bits5 & 31, 0))
-    vst = st_advance(vlcw, vst, jnp.where(is3, 1, jnp.where(is5, 5, 0)),
-                     active)
-    return val, vst
-
-
-def _u_extension(vlcw, vst, suffix, active):
-    has = active & (suffix >= 28)
-    val, vst = st_get(vlcw, vst, jnp.where(has, 4, 0), has)
-    return jnp.where(has, val.astype(I32), 0), vst
-
-
-def _u_full(vlcw, vst, active):
-    p, vst = _u_prefix(vlcw, vst, active)
-    s, vst = _u_suffix(vlcw, vst, p, active)
-    e, vst = _u_extension(vlcw, vst, s, active)
-    return jnp.where(active, p + s + 4 * e, 0), vst
-
-
-def _u_full_cond(vlcw, vst, active):
-    """_u_full cond-skipped when no lane is active (single-res_off u
-    reads are rare in dense content)."""
-    def skip(args):
-        vst, active = args
-        return jnp.zeros(active.shape, I32), vst
-
-    def run_it(args):
-        vst, active = args
-        u, vst = _u_full(vlcw, vst, active)
-        return u.astype(I32), vst  # pin dtype for x64 mode
-
-    return jax.lax.cond(jnp.any(active), run_it, skip, (vst, active))
-
-
-# ---------------------------------------------------------------------------
-# quad decode pieces
-# ---------------------------------------------------------------------------
-
-def _ctx_vlc(vlcw, vst, tbl_idx, context, active):
-    cxt = jnp.asarray(_CXTVLC_NP)
-    code = st_peek(vst, 7).astype(I32)
-    packed = cxt[tbl_idx, code + (context << 7)]
-    vst = st_advance(vlcw, vst,
-                     jnp.where(active, (packed & 0xF) >> 1, 0), active)
-    res = jnp.where(active, packed & 1, 0)
-    sp = jnp.where(active, (packed >> 4) & 0xF, 0)
-    ek = jnp.where(active, (packed >> 8) & 0xF, 0)
-    e1 = jnp.where(active, (packed >> 12) & 0xF, 0)
-    return res, sp, ek, e1, vst
-
-
-def _sig_emb(melw, vlcw, mel_st, vst, tbl_idx, context, active):
-    """MEL-gated CxtVLC (jpeg2000htdec.c:510-531), lockstep."""
-    melled = active & (context == 0)
-    sym, mel_st = mel_sym(melw, mel_st, melled)
-    read_vlc = active & ((context != 0) | (sym == 1))
-    res, sp, ek, e1, vst = _ctx_vlc(vlcw, vst, tbl_idx, context, read_vlc)
-    return res, sp, ek, e1, mel_st, vst
-
-
-def _bitlen32(v):
-    """bit_length of uint32 vector (branch-free)."""
-    v = v.astype(U32)
-    n = jnp.zeros(v.shape, I32)
-    for shift in (16, 8, 4, 2, 1):
-        big = v >= (jnp.uint32(1) << shift)
-        n = n + jnp.where(big, shift, 0)
-        v = jnp.where(big, v >> shift, v)
-    return n + jnp.where(v > 0, 1, 0)
-
-
-def _recover_quad(msw, mst, U, sp, ek, e1, pLSB, active):
-    """MagSgn recovery for one quad (jpeg2000htdec.c:395-427).
-
-    Returns (mu_vals (N,4) u32, E_vals (N,4) i32, new stream state)."""
-    mus, es = [], []
-    for i in range(4):
-        sig = (sp >> i) & 1
-        m_n = sig * U - ((ek >> i) & 1)
-        m_n = jnp.minimum(m_n, 25)  # defined shifts on invalid streams
-        known1 = ((e1 >> i) & 1).astype(U32)
-        do = active & (m_n > 0)
-        v, mst = st_get(msw, mst, jnp.where(do, m_n, 0), do)
-        v = v + (known1 << jnp.where(do, m_n, 0).astype(U32))
-        e_n = _bitlen32(v | jnp.uint32(1))
-        val = (((v >> 1) + 1) << pLSB.astype(U32)) \
-            | (jnp.uint32(1) << (pLSB.astype(U32) - 1)) \
-            | ((v & 1) << 31)
-        mus.append(jnp.where(do, val, jnp.uint32(0)))
-        es.append(jnp.where(do, e_n, 0))
-    return jnp.stack(mus, axis=1), jnp.stack(es, axis=1), mst
-
-
-def _set_quad(arr, q, vals):
-    """Write an (N, 4) block at columns [4q, 4q+4)."""
-    return jax.lax.dynamic_update_slice_in_dim(arr, vals, 4 * q, axis=1)
-
-
-def _get_col(arr, idx):
-    return jax.lax.dynamic_slice_in_dim(arr, idx, 1, axis=1)[:, 0]
-
-
-# ---------------------------------------------------------------------------
-# u pair coding (initial / non-initial rows)
-# ---------------------------------------------------------------------------
-
-def _quad_pair_u_initial(melw, vlcw, mel_st, vst, r1, r2, active):
-    """Initial-row joint u coding (jpeg2000htdec.c:666-712)."""
-    both = active & (r1 == 1) & (r2 == 1)
-    only1 = active & (r1 == 1) & (r2 == 0)
-    only2 = active & (r1 == 0) & (r2 == 1)
-
-    sym, mel_st = mel_sym(melw, mel_st, both)
-    mel1 = both & (sym == 1)
-    mel0 = both & (sym == 0)
-
-    p0, vst = _u_prefix(vlcw, vst, mel1 | mel0)
-    big = mel0 & (p0 > 2)
-    small = mel0 & (p0 <= 2)
-    p1, vst = _u_prefix(vlcw, vst, mel1 | small)
-    bit, vst = st_get(vlcw, vst, jnp.where(big, 1, 0), big)
-    bit = bit.astype(I32)
-    s0, vst = _u_suffix(vlcw, vst, p0, mel1 | mel0)
-    s1, vst = _u_suffix(vlcw, vst, p1, mel1 | small)
-    e0, vst = _u_extension(vlcw, vst, s0, mel1 | mel0)
-    e1x, vst = _u_extension(vlcw, vst, s1, mel1 | small)
-
-    u0_pair = jnp.where(mel1, 2 + p0 + s0 + 4 * e0, p0 + s0 + 4 * e0)
-    u1_pair = jnp.where(mel1, 2 + p1 + s1 + 4 * e1x,
-                        jnp.where(big, bit + 1, p1 + s1 + 4 * e1x))
-
-    uo1, vst = _u_full_cond(vlcw, vst, only1)
-    uo2, vst = _u_full_cond(vlcw, vst, only2)
-
-    u1 = jnp.where(both, u0_pair, jnp.where(only1, uo1, 0))
-    u2 = jnp.where(both, u1_pair, jnp.where(only2, uo2, 0))
-    return u1, u2, mel_st, vst
-
-
-def _quad_pair_u_noninit(vlcw, vst, r1, r2, active):
-    """Non-initial-row u pair (jpeg2000htdec.c:828-854)."""
-    both = active & (r1 == 1) & (r2 == 1)
-    only1 = active & (r1 == 1) & (r2 == 0)
-    only2 = active & (r1 == 0) & (r2 == 1)
-    p0, vst = _u_prefix(vlcw, vst, both)
-    p1, vst = _u_prefix(vlcw, vst, both)
-    s0, vst = _u_suffix(vlcw, vst, p0, both)
-    s1, vst = _u_suffix(vlcw, vst, p1, both)
-    e0, vst = _u_extension(vlcw, vst, s0, both)
-    e1x, vst = _u_extension(vlcw, vst, s1, both)
-    uo1, vst = _u_full_cond(vlcw, vst, only1)
-    uo2, vst = _u_full_cond(vlcw, vst, only2)
-    u1 = jnp.where(both, p0 + s0 + (e0 << 2), jnp.where(only1, uo1, 0))
-    u2 = jnp.where(both, p1 + s1 + (e1x << 2), jnp.where(only2, uo2, 0))
-    return u1, u2, vst
-
-
-QW_MAX = 32
-QH_MAX = 32
-
-
-@jax.jit
-def decode_cleanup_words(msw, melw, vlcw, pLSB, maxbp, qw, qh,
-                         ms_lim=None, mel_lim=None):
-    """Decode N codeblocks' cleanup segments in lockstep.
-
-    msw/melw/vlcw: uint32 (N, W) dense bit streams from prepare_streams.
-    qw/qh: traced scalars shared by every lane (a bucket holds one
-    codeblock shape), so one compiled executable — keyed only on the
-    (N, W) shapes — serves every codeblock geometry up to 64x64.
-
-    Sigma/exponent state is held in *rolling quad-row buffers* (current +
-    previous row, (N, 4*QW_MAX+8) each): the context/predictor
-    neighborhoods (jpeg2000htdec.c:784-919) only ever look one quad-row
-    up, and small carries keep the in-loop dynamic updates cheap.
-
-    Returns (mu, ok): mu uint32 (N, HW_MAX, HW_MAX) sign-magnitude
-    samples (crop to the real height/width on the host side), ok (N,)
-    bool — False where a U bound was violated (invalid stream; the host
-    falls back / rejects).
-    """
-    N = msw.shape[0]
-    qw = jnp.asarray(qw, I32)
-    qh = jnp.asarray(qh, I32)
-    ones = jnp.ones((N,), bool)
-    zeros = jnp.zeros((N,), I32)
-
-    mel_st = (st_init(melw, mel_lim), zeros, zeros, zeros)
-    vpos = st_init(vlcw)          # backward stream: zeros past start
-    mpos = st_init(msw, ms_lim)
-
-    ROWW = 4 * QW_MAX + 8
-    sig_prev = jnp.zeros((N, ROWW), I32)
-    sig_cur = jnp.zeros((N, ROWW), I32)
-    e_prev = jnp.zeros((N, ROWW), I32)
-    e_cur = jnp.zeros((N, ROWW), I32)
-    # mu rows are laid out with a fixed 4*QW_MAX stride per quad row
-    mu = jnp.zeros((N, 4 * QW_MAX * QH_MAX), U32)
-    murow = jnp.zeros((N, 4 * QW_MAX), U32)
-    ok = ones
-    context = zeros
-
-    def quad_ctx_first(sig_cur, col):
-        s0 = _get_col(sig_cur, 4 * col)
-        s1 = _get_col(sig_cur, 4 * col + 1)
-        s2 = _get_col(sig_cur, 4 * col + 2)
-        s3 = _get_col(sig_cur, 4 * col + 3)
-        return (s0 | s1) + (s2 << 1) + (s3 << 2)
-
-    def sp_block(sp):
-        return jnp.stack([(sp >> i) & 1 for i in range(4)], axis=1)
-
-    # ---- initial row ----
-    def row0_pair(pi, state):
-        mel_st, vpos, mpos, sig_cur, e_cur, murow, ok, context = state
-        col = 2 * pi
-        r1, sp1, ek1, e11, mel_st, vpos = _sig_emb(
-            melw, vlcw, mel_st, vpos, 0, context, ones)
-        sig_cur = _set_quad(sig_cur, col, sp_block(sp1))
-        context = quad_ctx_first(sig_cur, col)
-        r2, sp2, ek2, e12, mel_st, vpos = _sig_emb(
-            melw, vlcw, mel_st, vpos, 0, context, ones)
-        sig_cur = _set_quad(sig_cur, col + 1, sp_block(sp2))
-        context = quad_ctx_first(sig_cur, col + 1)
-        u1, u2, mel_st, vpos = _quad_pair_u_initial(
-            melw, vlcw, mel_st, vpos, r1, r2, ones)
-        U1 = 1 + u1
-        U2 = 1 + u2
-        ok = ok & (U1 <= maxbp) & (U2 <= maxbp)
-        mv, ev, mpos = _recover_quad(msw, mpos, U1, sp1, ek1, e11, pLSB,
-                                     ones)
-        murow = _set_quad(murow, col, mv)
-        e_cur = _set_quad(e_cur, col, ev)
-        mv, ev, mpos = _recover_quad(msw, mpos, U2, sp2, ek2, e12, pLSB,
-                                     ones)
-        murow = _set_quad(murow, col + 1, mv)
-        e_cur = _set_quad(e_cur, col + 1, ev)
-        return (mel_st, vpos, mpos, sig_cur, e_cur, murow, ok, context)
-
-    state0 = (mel_st, vpos, mpos, sig_cur, e_cur, murow, ok, context)
-    state0 = jax.lax.fori_loop(0, qw // 2, row0_pair, state0)
-
-    def row0_tail(state):
-        mel_st, vpos, mpos, sig_cur, e_cur, murow, ok, context = state
-        col = qw - 1
-        r1, sp1, ek1, e11, mel_st, vpos = _sig_emb(
-            melw, vlcw, mel_st, vpos, 0, context, ones)
-        sig_cur = _set_quad(sig_cur, col, sp_block(sp1))
-        u1, vpos = _u_full(vlcw, vpos, r1 == 1)
-        U1 = 1 + u1
-        ok = ok & (U1 <= maxbp)
-        mv, ev, mpos = _recover_quad(msw, mpos, U1, sp1, ek1, e11, pLSB,
-                                     ones)
-        murow = _set_quad(murow, col, mv)
-        e_cur = _set_quad(e_cur, col, ev)
-        return (mel_st, vpos, mpos, sig_cur, e_cur, murow, ok, context)
-
-    state0 = jax.lax.cond(qw % 2 == 1, row0_tail, lambda s: s, state0)
-    mel_st, vpos, mpos, sig_cur, e_cur, murow, ok, context = state0
-    mu = jax.lax.dynamic_update_slice_in_dim(mu, murow, 0, axis=1)
-
-    # ---- non-initial rows ----
-    # neighborhoods live in the rolling row buffers: quad q's column is
-    # col; N/NE/NW/NF are sig_prev/e_prev at 4*col{+1,+3,-1,+5}; W is
-    # sig_cur at 4*col{-1,-2}
-    def ctx_above(sig_prev, sig_cur, col, first_col, last_col):
-        c = _get_col(sig_prev, 4 * col + 1)
-        c = c | (_get_col(sig_prev, 4 * col + 3) << 2)
-        nw = _get_col(sig_prev, jnp.maximum(4 * col - 1, 0))
-        w_ = (_get_col(sig_cur, jnp.maximum(4 * col - 1, 0))
-              | _get_col(sig_cur, jnp.maximum(4 * col - 2, 0)))
-        c = jnp.where(first_col, c, (c | nw) + (w_ << 1))
-        nf = _get_col(sig_prev, 4 * col + 5)
-        c = jnp.where(last_col, c, c | (nf << 2))
-        return c
-
-    def kappa_of(e_prev, col, sp, first_col, last_col):
-        pc = (sp & 1) + ((sp >> 1) & 1) + ((sp >> 2) & 1) + ((sp >> 3) & 1)
-        gamma = (pc > 1).astype(I32)
-        e_n = _get_col(e_prev, 4 * col + 1)
-        e_ne = _get_col(e_prev, 4 * col + 3)
-        e_nw = jnp.where(first_col, 0,
-                         _get_col(e_prev, jnp.maximum(4 * col - 1, 0)))
-        e_nf = jnp.where(last_col, 0, _get_col(e_prev, 4 * col + 5))
-        max_e = jnp.maximum(jnp.maximum(e_nw, e_n), jnp.maximum(e_ne, e_nf))
-        return jnp.maximum(1, gamma * (max_e - 1))
-
-    def rowk_pair(pi, state):
-        (mel_st, vpos, mpos, sig_prev, sig_cur, e_prev, e_cur, murow,
-         ok) = state
-        col = 2 * pi
-        first1 = pi == 0
-        last2 = col + 1 == qw - 1
-        c1 = ctx_above(sig_prev, sig_cur, col, first1, False)
-        r1, sp1, ek1, e11, mel_st, vpos = _sig_emb(
-            melw, vlcw, mel_st, vpos, 1, c1, ones)
-        sig_cur = _set_quad(sig_cur, col, sp_block(sp1))
-        c2 = ctx_above(sig_prev, sig_cur, col + 1, False, last2)
-        r2, sp2, ek2, e12, mel_st, vpos = _sig_emb(
-            melw, vlcw, mel_st, vpos, 1, c2, ones)
-        sig_cur = _set_quad(sig_cur, col + 1, sp_block(sp2))
-        u1, u2, vpos = _quad_pair_u_noninit(vlcw, vpos, r1, r2, ones)
-        U1 = kappa_of(e_prev, col, sp1, first1, False) + u1
-        U2 = kappa_of(e_prev, col + 1, sp2, False, last2) + u2
-        ok = ok & (U1 <= maxbp) & (U2 <= maxbp)
-        mv, ev, mpos = _recover_quad(msw, mpos, U1, sp1, ek1, e11, pLSB,
-                                     ones)
-        murow = _set_quad(murow, col, mv)
-        e_cur = _set_quad(e_cur, col, ev)
-        mv, ev, mpos = _recover_quad(msw, mpos, U2, sp2, ek2, e12, pLSB,
-                                     ones)
-        murow = _set_quad(murow, col + 1, mv)
-        e_cur = _set_quad(e_cur, col + 1, ev)
-        return (mel_st, vpos, mpos, sig_prev, sig_cur, e_prev, e_cur,
-                murow, ok)
-
-    def row_tail(state):
-        (mel_st, vpos, mpos, sig_prev, sig_cur, e_prev, e_cur, murow,
-         ok) = state
-        col = qw - 1
-        c1 = ctx_above(sig_prev, sig_cur, col, qw == 1, True)
-        r1, sp1, ek1, e11, mel_st, vpos = _sig_emb(
-            melw, vlcw, mel_st, vpos, 1, c1, ones)
-        sig_cur = _set_quad(sig_cur, col, sp_block(sp1))
-        u1, vpos = _u_full(vlcw, vpos, r1 == 1)
-        U1 = kappa_of(e_prev, col, sp1, qw == 1, True) + u1
-        ok = ok & (U1 <= maxbp)
-        mv, ev, mpos = _recover_quad(msw, mpos, U1, sp1, ek1, e11, pLSB,
-                                     ones)
-        murow = _set_quad(murow, col, mv)
-        e_cur = _set_quad(e_cur, col, ev)
-        return (mel_st, vpos, mpos, sig_prev, sig_cur, e_prev, e_cur,
-                murow, ok)
-
-    def row_body(row, carry):
-        mel_st, vpos, mpos, sig_prev, e_prev, mu, ok = carry
-        sig_cur = jnp.zeros((N, ROWW), I32)
-        e_cur = jnp.zeros((N, ROWW), I32)
-        murow = jnp.zeros((N, 4 * QW_MAX), U32)
-        state = (mel_st, vpos, mpos, sig_prev, sig_cur, e_prev, e_cur,
-                 murow, ok)
-        state = jax.lax.fori_loop(
-            0, qw // 2, rowk_pair, state)
-        state = jax.lax.cond(qw % 2 == 1, row_tail, lambda s: s, state)
-        (mel_st, vpos, mpos, sig_prev, sig_cur, e_prev, e_cur, murow,
-         ok) = state
-        mu = jax.lax.dynamic_update_slice_in_dim(
-            mu, murow, row * (4 * QW_MAX), axis=1)
-        return (mel_st, vpos, mpos, sig_cur, e_cur, mu, ok)
-
-    carry = (mel_st, vpos, mpos, sig_cur, e_cur, mu, ok)
-    carry = jax.lax.fori_loop(1, qh, row_body, carry)
-    mel_st, vpos, mpos, sig_prev, e_prev, mu, ok = carry
-
-    # Return mu in *quad layout* (N, QH_MAX, 4*QW_MAX): sample of quad
-    # (qr, qc), corner i (dy = i&1, dx = i>>1) at [:, qr, 4*qc + i].
-    # The quad->raster permutation (jpeg2000htdec.c:976-1007) is folded
-    # into the consumer's scatter index math — a 2x2-minor-dim transpose
-    # is pathological for the TPU's (8,128) tiling, an index remap in an
-    # existing scatter is free (see models/decoder._compiled_assembly and
-    # quad_to_raster for the host-side view).
-    return mu.reshape(N, QH_MAX, 4 * QW_MAX), ok
-
-
-def quad_to_raster(mu_np: np.ndarray) -> np.ndarray:
-    """Host view of the quad layout as a raster (N, HW_MAX, HW_MAX)."""
-    n = mu_np.shape[0]
-    grid = mu_np.reshape(n, QH_MAX, QW_MAX, 2, 2)
-    return grid.transpose(0, 1, 4, 2, 3).reshape(n, HW_MAX, HW_MAX)
-
-
-def decode_cleanup_bucket(data, lcup, pcup, pLSB, maxbp, qw, qh):
-    """Byte-row front-end kept for tests/compat: prepares streams on host
-    (numpy), runs the word kernel, and rasterizes on host."""
-    data_np = np.asarray(data)
-    lc = np.asarray(lcup)
-    pc = np.asarray(pcup)
-    msw, melw, vlcw = prepare_streams_batch(data_np, lc, pc)
-    ms_lim, mel_lim = stream_limits(data_np, lc, pc)
-    mu, ok = decode_cleanup_words(
-        jnp.asarray(msw), jnp.asarray(melw), jnp.asarray(vlcw),
-        jnp.asarray(pLSB), jnp.asarray(maxbp), qw, qh,
-        jnp.asarray(ms_lim), jnp.asarray(mel_lim))
-    return quad_to_raster(np.asarray(mu)), ok

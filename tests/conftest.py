@@ -26,6 +26,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# The v2 entropy kernels compile per (shape-class, lane-count, width)
+# variant — ~60 s each on this 1-core host. The persistent cache makes
+# every variant a one-time cost across test runs.
+_CACHE_DIR = str(pathlib.Path(__file__).resolve().parent.parent
+                 / ".xla_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 FFMPEG = "/root/repo/third_party/ffmpeg-build/ffmpeg"
 
 

@@ -196,13 +196,20 @@ def test_ht_3pass_frame_both_decoders(ffmpeg):
                                    "-flags", "+bitexact") == img.tobytes()
 
 
-def test_ht_3pass_device_path(ffmpeg):
-    """Mixed cleanup-only / 3-pass blocks through the TPU decoder (3-pass
-    blocks take the per-block host prefill path)."""
+def test_ht_3pass_device_path(ffmpeg, monkeypatch):
+    """3-pass blocks decode through the device refinement kernel — the
+    host oracle must not run at all for full-size blocks."""
     from ffmpeg_ht_tpu.models.decoder import Decoder
+    from ffmpeg_ht_tpu.ops import ht_dec
     img = RNG.integers(0, 256, (64, 64), dtype=np.uint8)
     data = encode_frame_htj2k(img, refinement=True)
+    calls = []
+    orig = ht_dec.decode_htj2k
+    monkeypatch.setattr(ht_dec, "decode_htj2k",
+                        lambda *a, **k: calls.append(a) or orig(*a, **k))
     assert Decoder().decode(data).tobytes() == img.tobytes()
+    # 64x64 frame = one full-size codeblock: no host-prefill fallback
+    assert not calls, "refined block fell back to the host oracle"
 
 
 def test_native_encoder_matches_python():
@@ -250,14 +257,16 @@ def test_jph_file_format(ffmpeg, tmp_path):
     data = encode_frame_htj2k(img, jp2=True)
     assert data[4:8] == b"jP\x20\x20" and b"jph\x20" in data[:40]
     assert decode_frame(data, bitexact=True).tobytes() == img.tobytes()
-    # the reference decodes it when routed to its JPEG 2000 pipe demuxer
-    # (ffmpeg has no .jph extension mapping, SURVEY.md §2.3)
+    # the reference decodes it when routed to its JPEG 2000 decoder via the
+    # image pipe demuxer (ffmpeg has no .jph extension mapping, SURVEY.md
+    # §2.3; not every build registers j2k_pipe, so force the codec)
     p = tmp_path / "f.jph"
     p.write_bytes(data)
     import subprocess
     r = subprocess.run(
         [ffmpeg, "-loglevel", "error", "-flags", "+bitexact",
-         "-f", "j2k_pipe", "-i", str(p), "-f", "rawvideo", "-"],
+         "-f", "image2pipe", "-c:v", "jpeg2000", "-i", str(p),
+         "-f", "rawvideo", "-"],
         check=True, capture_output=True)
     assert r.stdout == img.tobytes()
 

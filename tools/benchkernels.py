@@ -30,10 +30,10 @@ def _t(fn, fetch, reps=20):
 def bench_entropy():
     import jax.numpy as jnp
 
-    from ffmpeg_ht_tpu.ops.ht_batch import (decode_cleanup_words,
-                                            prepare_streams)
+    from ffmpeg_ht_tpu.ops.ht_batch import prepare_streams, stream_limits
     from ffmpeg_ht_tpu.ops.ht_dec import decode_htj2k
     from ffmpeg_ht_tpu.ops.ht_enc import encode_cleanup
+    from ffmpeg_ht_tpu.ops.ht_scan import decode_cleanup_scan
 
     rng = np.random.default_rng(0)
     rows, lcs, pcs, expects = [], [], [], []
@@ -49,19 +49,27 @@ def bench_entropy():
         pcs.append(lc - scup)
         expects.append(decode_htj2k(d, 1, 7, [lc, 0], 32, 32, 8))
     msw, melw, vlcw = prepare_streams(rows, lcs, pcs)
+    lmax = max(max(len(r) for r in rows), 4)
+    data = np.zeros((N, lmax), np.uint8)
+    for i, r in enumerate(rows):
+        data[i, :len(r)] = r
+    ms_lim, mel_lim = stream_limits(data, np.asarray(lcs), np.asarray(pcs))
     msw, melw, vlcw = jnp.asarray(msw), jnp.asarray(melw), jnp.asarray(vlcw)
+    ms_lim, mel_lim = jnp.asarray(ms_lim), jnp.asarray(mel_lim)
     pLSB = jnp.full((N,), 23, jnp.int32)
     maxbp = jnp.full((N,), 8, jnp.int32)
 
-    mu, ok = decode_cleanup_words(msw, melw, vlcw, pLSB, maxbp, 16, 16)
-    from ffmpeg_ht_tpu.ops.ht_batch import quad_to_raster
-    ras = quad_to_raster(np.asarray(mu))[:, :32, :32]
+    mu, ok = decode_cleanup_scan(msw, melw, vlcw, pLSB, maxbp,
+                                 ms_lim, mel_lim, qw=16, qh=16, ms_class=8)
+    from ffmpeg_ht_tpu.ops.ht_scan import quad_to_raster
+    ras = quad_to_raster(np.asarray(mu))
     exact = all(np.array_equal(
         ras[i].astype(np.int64) & 0xFFFFFFFF,
         expects[i].astype(np.int64) & 0xFFFFFFFF) for i in range(N))
 
-    ms = _t(lambda: decode_cleanup_words(msw, melw, vlcw, pLSB, maxbp,
-                                         16, 16),
+    ms = _t(lambda: decode_cleanup_scan(msw, melw, vlcw, pLSB, maxbp,
+                                        ms_lim, mel_lim,
+                                        qw=16, qh=16, ms_class=8),
             lambda r: np.asarray(r[0]))
     print(f"ht_cleanup_batch   [{'OK' if exact else 'FAIL'}] "
           f"{ms:8.2f} ms / {N} cblk 32x32  ({ms / N * 1000:.1f} us/cblk)")
