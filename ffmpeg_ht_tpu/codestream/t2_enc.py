@@ -132,10 +132,17 @@ def putnumpasses(bp: BitPacker, n: int) -> None:
 
 def encode_packet(out: bytearray, rlevel, layno: int, precno: int,
                   expn, numgbits: int, packetno: int, nlayers: int,
-                  sop: bool, eph: bool) -> None:
-    """Emit one packet (encode_packet, j2kenc.c:786-937)."""
+                  sop: bool, eph: bool, header_out=None) -> None:
+    """Emit one packet (encode_packet, j2kenc.c:786-937).
+
+    With `header_out` set, the packet header bits (and EPH) go there
+    instead of `out` — the packed-headers form (PPT marker, T.800 A.7.5;
+    decode side t2.py select_stream / jpeg2000dec.c:980-1004). SOP is
+    not supported in that mode."""
+    hdst = out if header_out is None else header_out
     bp = BitPacker()
     if sop:
+        assert header_out is None, "SOP + packed headers unsupported"
         out.extend(bytes([0xFF, 0x91, 0x00, 0x04])
                    + packetno.to_bytes(2, "big"))
 
@@ -180,9 +187,9 @@ def encode_packet(out: bytearray, rlevel, layno: int, precno: int,
     bp.put_bits(0 if empty else 1, 1)
     if empty:
         bp.flush()
-        out.extend(bp.buf)
+        hdst.extend(bp.buf)
         if eph:
-            out.extend(bytes([0xFF, 0x92]))
+            hdst.extend(bytes([0xFF, 0x92]))
         return
 
     for bandno, band in enumerate(rlevel.band):
@@ -237,9 +244,9 @@ def encode_packet(out: bytearray, rlevel, layno: int, precno: int,
                 bp.put_num(length, e.lblock + np_log)
 
     bp.flush()
-    out.extend(bp.buf)
+    hdst.extend(bp.buf)
     if eph:
-        out.extend(bytes([0xFF, 0x92]))
+        hdst.extend(bytes([0xFF, 0x92]))
 
     for band in rlevel.band:
         if (band.coord[0][0] >= band.coord[0][1]
@@ -257,12 +264,13 @@ def encode_packet(out: bytearray, rlevel, layno: int, precno: int,
 
 def encode_packets(out: bytearray, tile: Tile, nlayers: int, prog: int,
                    sop: bool, eph: bool, chroma_shift=(0, 0),
-                   boundaries=None) -> None:
+                   boundaries=None, header_out=None) -> None:
     """All packets of one tile in progression order (j2kenc.c:940-1166).
 
     `boundaries`, when given, collects the byte offset after every packet
     — the legal tile-part split points (a packet may not straddle
-    tile-parts, T.800 A.4.2)."""
+    tile-parts, T.800 A.4.2). `header_out` collects packet headers for
+    the PPT packed-headers form (see encode_packet)."""
     codsty = tile.codsty[0]
     qntsty_of = lambda compno: tile.qntsty[compno]
     ncomponents = len(tile.comp)
@@ -278,7 +286,7 @@ def encode_packets(out: bytearray, tile: Tile, nlayers: int, prog: int,
         rlevel = tile.comp[compno].reslevel[reslevelno]
         expn, ngb = expn_slice(compno, reslevelno)
         encode_packet(out, rlevel, layno, precno, expn, ngb, packetno,
-                      nlayers, sop, eph)
+                      nlayers, sop, eph, header_out)
         packetno += 1
         if boundaries is not None:
             boundaries.append(len(out))
