@@ -66,6 +66,14 @@ class EncoderConfig:
     log2_cblk_width: int = 4
     log2_cblk_height: int = 4
     tp_interval: int = 0   # packets per tile-part (0 = one tile-part)
+    ppt: bool = False      # packed packet headers in tile header (PPT,
+                           # T.800 A.7.5; beyond j2kenc — decode-path
+                           # test-vector source for t2.py select_stream)
+    log2_prec_width: int = 0    # user precincts (0 = maximal 2^15); HT
+    log2_prec_height: int = 0   # encoder only
+    ht_layers: int = 1     # HT quality layers: 2 splits Cleanup (layer 0)
+                           # from SigProp+MagRef (layer 1) — a quality-
+                           # scalable HT stream (needs refinement=True)
     mct: bool = False      # component transform (RCT if pred=1, ICT if 0);
                            # HT encoder only (j2kenc never signals MCT)
 
@@ -383,13 +391,21 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
 
     use_mct = bool(cfg.mct) and ncomp >= 3 and chroma_shift == (0, 0)
     codsty = CodingStyle(
-        csty=(mk.CSTY_SOP if cfg.sop else 0) | (mk.CSTY_EPH if cfg.eph else 0),
+        csty=(mk.CSTY_SOP if cfg.sop else 0) | (mk.CSTY_EPH if cfg.eph else 0)
+        | (mk.CSTY_PREC if cfg.log2_prec_width else 0),
         prog_order=_PROG[cfg.prog],
         nreslevels=cfg.nreslevels, nreslevels2decode=cfg.nreslevels,
         log2_cblk_width=cfg.log2_cblk_width,
         log2_cblk_height=cfg.log2_cblk_height,
         cblk_style=mk.CTSY_HTJ2K_F, mct=1 if use_mct else 0,
         transform=mk.DWT97_INT if lossy else mk.DWT53, init=True)
+    if cfg.log2_prec_width:
+        codsty.log2_prec_widths = [cfg.log2_prec_width] * mk.MAX_RESLEVELS
+        codsty.log2_prec_heights = ([cfg.log2_prec_height
+                                     or cfg.log2_prec_width]
+                                    * mk.MAX_RESLEVELS)
+    nlayers_ht = cfg.ht_layers if refinement else 1
+    codsty.nlayers = nlayers_ht
     qntsty = QuantStyle(nguardbits=2,
                         quantsty=mk.QSTY_SE if lossy else mk.QSTY_NONE)
     _init_quantization(codsty, qntsty, cbps)
@@ -505,7 +521,7 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
     out.extend(_be16(mk.CAP) + _be16(2 + 4 + 2))  # Lcap
     out.extend(_be32(1 << 17))  # Pcap: Ccap15 present
     out.extend(_be16(ccap15))
-    _put_cod_ht(out, cfg, codsty, 1)
+    _put_cod_ht(out, cfg, codsty, nlayers_ht)
     _put_qcd(out, codsty, qntsty)
 
     for tileno in range(ntiles):
@@ -523,7 +539,8 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                             w, h = cblk.width, cblk.height
                             e = t1_enc.EncCblk(layers=[dict(
                                 npasses=0, cum_passes=0, data_start=0,
-                                data_len=0, disto=0)])
+                                data_len=0, disto=0)
+                                for _ in range(nlayers_ht)])
                             cblk.enc = e
                             if w <= 0 or h <= 0:
                                 continue
@@ -545,14 +562,31 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                                 e.npasses = 3
                                 e.ninclpasses = 3
                                 e.data = data3
-                                e.ht_segments = [(1, lcup), (2, lref)]
                                 e.passes = [t1_enc.Pass(rate=len(data3),
                                                         disto=0, flushed=b"")
                                             for _ in range(3)]
-                                e.layers = [dict(npasses=3, cum_passes=3,
-                                                 data_start=0,
-                                                 data_len=len(data3),
-                                                 disto=0)]
+                                if nlayers_ht == 2:
+                                    # quality-scalable split: Cleanup in
+                                    # layer 0, SigProp+MagRef in layer 1.
+                                    # Each layer is a single HT segment,
+                                    # so the normal length coding
+                                    # (lblock + av_log2(npasses)) matches
+                                    # the decoder's non-initial HT branch
+                                    # (t2.py:318-333)
+                                    e.layers = [
+                                        dict(npasses=1, cum_passes=1,
+                                             data_start=0, data_len=lcup,
+                                             disto=0),
+                                        dict(npasses=2, cum_passes=3,
+                                             data_start=lcup,
+                                             data_len=lref, disto=0)]
+                                else:
+                                    e.ht_segments = [(1, lcup), (2, lref)]
+                                    e.layers = [dict(npasses=3,
+                                                     cum_passes=3,
+                                                     data_start=0,
+                                                     data_len=len(data3),
+                                                     disto=0)]
                                 continue
                             dcup, lcup = ht_enc.encode_cleanup(mag, sign, zbp)
                             e.nonzerobits = magb - zbp  # zerobits tag = zbp
@@ -563,13 +597,20 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                                                     flushed=b"")]
                             e.layers = [dict(npasses=1, cum_passes=1,
                                              data_start=0, data_len=lcup,
-                                             disto=0)]
+                                             disto=0)] \
+                                + [dict(npasses=0, cum_passes=1,
+                                        data_start=lcup, data_len=0,
+                                        disto=0)
+                                   for _ in range(nlayers_ht - 1)]
 
         body = bytearray()
         bnds = [] if cfg.tp_interval else None
-        encode_packets(body, tile, 1, _PROG[cfg.prog],
-                       cfg.sop, cfg.eph, chroma_shift, boundaries=bnds)
-        _emit_tile_parts(out, tileno, bytes(body), bnds, cfg.tp_interval)
+        hdrs = bytearray() if cfg.ppt else None
+        encode_packets(body, tile, nlayers_ht, _PROG[cfg.prog],
+                       cfg.sop, cfg.eph, chroma_shift, boundaries=bnds,
+                       header_out=hdrs)
+        _emit_tile_parts(out, tileno, bytes(body), bnds, cfg.tp_interval,
+                         _ppt_segments(bytes(hdrs)) if cfg.ppt else b"")
 
     out.extend(_be16(mk.EOC))
     if cfg.jp2:
@@ -596,11 +637,14 @@ def _jph_wrap(codestream: bytes, siz: SIZ, cbps: int) -> bytes:
 
 
 def _emit_tile_parts(out: bytearray, tileno: int, body: bytes,
-                     boundaries, tp_interval: int) -> None:
+                     boundaries, tp_interval: int,
+                     tile_markers: bytes = b"") -> None:
     """Emit one tile's body as one or more tile-parts.
 
     Splits at packet boundaries only (a packet may not straddle
-    tile-parts, T.800 A.4.2); TPsot/TNsot per SOT (A.4.2)."""
+    tile-parts, T.800 A.4.2); TPsot/TNsot per SOT (A.4.2).
+    `tile_markers` (e.g. PPT segments) go in the first tile-part header
+    only (jpeg2000dec.c:995-998)."""
     cuts = [0]
     if tp_interval and boundaries:
         for i in range(tp_interval, len(boundaries), tp_interval):
@@ -611,13 +655,29 @@ def _emit_tile_parts(out: bytearray, tileno: int, body: bytes,
     nparts = len(cuts) - 1
     for tp in range(nparts):
         seg = body[cuts[tp]:cuts[tp + 1]]
-        psot = 12 + 2 + len(seg)
+        markers = tile_markers if tp == 0 else b""
+        psot = 12 + len(markers) + 2 + len(seg)
         out.extend(_be16(mk.SOT) + _be16(10) + _be16(tileno))
         out.extend(_be32(psot))
         out.append(tp)        # TPsot
         out.append(nparts)    # TNsot
+        out.extend(markers)
         out.extend(_be16(mk.SOD))
         out.extend(seg)
+
+
+def _ppt_segments(headers: bytes) -> bytes:
+    """Wrap packed packet headers into PPT marker segments (T.800 A.7.5):
+    FF61 Lppt Zppt <chunk>, chunks <= 65532 bytes, Zppt ascending."""
+    out = bytearray()
+    z = 0
+    for off in range(0, max(len(headers), 1), 65532):
+        chunk = headers[off:off + 65532]
+        out.extend(_be16(mk.PPT) + _be16(3 + len(chunk)))
+        out.append(z)
+        out.extend(chunk)
+        z += 1
+    return bytes(out)
 
 
 def _put_cod_ht(out: bytearray, cfg: EncoderConfig, codsty: CodingStyle,
@@ -628,7 +688,11 @@ def _put_cod_ht(out: bytearray, cfg: EncoderConfig, codsty: CodingStyle,
         scod |= mk.CSTY_SOP
     if cfg.eph:
         scod |= mk.CSTY_EPH
-    out.extend(_be16(mk.COD) + _be16(12))
+    prec = bool(codsty.csty & mk.CSTY_PREC)
+    if prec:
+        scod |= mk.CSTY_PREC
+    out.extend(_be16(mk.COD)
+               + _be16(12 + (codsty.nreslevels if prec else 0)))
     out.append(scod)
     out.append(_PROG[cfg.prog])
     out.extend(_be16(nlayers))
@@ -638,6 +702,10 @@ def _put_cod_ht(out: bytearray, cfg: EncoderConfig, codsty: CodingStyle,
     out.append(codsty.log2_cblk_height - 2)
     out.append(mk.CTSY_HTJ2K_F)
     out.append(1 if codsty.transform == mk.DWT53 else 0)
+    if prec:
+        for i in range(codsty.nreslevels):
+            out.append(codsty.log2_prec_widths[i]
+                       | (codsty.log2_prec_heights[i] << 4))
 
 
 def encode_frame_t800(img: Union[np.ndarray, Sequence[np.ndarray]],
@@ -737,9 +805,12 @@ def encode_frame_t800(img: Union[np.ndarray, Sequence[np.ndarray]],
 
         body = bytearray()
         bnds = [] if cfg.tp_interval else None
+        hdrs = bytearray() if cfg.ppt else None
         encode_packets(body, tile, nlayers, _PROG[cfg.prog],
-                       cfg.sop, cfg.eph, chroma_shift, boundaries=bnds)
-        _emit_tile_parts(out, tileno, bytes(body), bnds, cfg.tp_interval)
+                       cfg.sop, cfg.eph, chroma_shift, boundaries=bnds,
+                       header_out=hdrs)
+        _emit_tile_parts(out, tileno, bytes(body), bnds, cfg.tp_interval,
+                         _ppt_segments(bytes(hdrs)) if cfg.ppt else b"")
 
     out.extend(_be16(mk.EOC))
 

@@ -1,0 +1,59 @@
+"""HT quality layers + user precincts (VERDICT round-1 item 8 and the
+untested non-initial HT length branch, t2.py:318-333).
+
+The 2-layer split puts the Cleanup pass in layer 0 and SigProp+MagRef in
+layer 1, so every refined codeblock's length information spans two
+packets — the decoder's quality-layer HT state machine runs on real
+data. Cross-validated against the reference decoder.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import ffmpeg_decode_raw_bytes
+
+from ffmpeg_ht_tpu.models.encoder import encode_frame_htj2k
+from ffmpeg_ht_tpu.models.host_decoder import decode_frame
+
+RNG = np.random.default_rng(77)
+
+
+def test_ht_precincts_decode_parity(ffmpeg):
+    img = RNG.integers(0, 256, (96, 128), dtype=np.uint8)
+    data = encode_frame_htj2k(img, log2_prec_width=6)
+    assert b"\xff\x52" in data  # COD present
+    assert decode_frame(data, bitexact=True).tobytes() == img.tobytes()
+    assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k", "-flags",
+                                   "+bitexact") == img.tobytes()
+
+
+def test_ht_two_layer_split_decode_parity(ffmpeg):
+    img = RNG.integers(0, 256, (96, 128), dtype=np.uint8)
+    data = encode_frame_htj2k(img, refinement=True, ht_layers=2)
+    assert decode_frame(data, bitexact=True).tobytes() == img.tobytes()
+    assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k", "-flags",
+                                   "+bitexact") == img.tobytes()
+
+
+def test_ht_layers_precincts_rpcl_device(ffmpeg):
+    """Layers x precincts x RPCL through the TPU decoder: refined blocks
+    whose lengths arrived across two packets must still decode on the
+    device refinement kernel."""
+    from ffmpeg_ht_tpu.models.decoder import Decoder
+    img = RNG.integers(0, 256, (96, 128), dtype=np.uint8)
+    data = encode_frame_htj2k(img, refinement=True, ht_layers=2,
+                              log2_prec_width=6, prog="rpcl")
+    assert Decoder().decode(data).tobytes() == img.tobytes()
+    assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k", "-flags",
+                                   "+bitexact") == img.tobytes()
+
+
+def test_ht_rgb_layers_multitile(ffmpeg):
+    imgs = [RNG.integers(0, 256, (80, 112), dtype=np.uint8)
+            for _ in range(3)]
+    data = encode_frame_htj2k(imgs, chroma_shift=(0, 0), refinement=True,
+                              ht_layers=2, tile_width=64, tile_height=64,
+                              log2_prec_width=5)
+    ref = ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k", "-flags",
+                                  "+bitexact")
+    assert decode_frame(data, bitexact=True).tobytes() == ref
