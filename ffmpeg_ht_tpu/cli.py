@@ -163,6 +163,12 @@ def _cmd_encode(args) -> int:
         # 1-frame encode to out.mj2 is properly MJ2-wrapped
         from ffmpeg_ht_tpu.containers.mov import mux_mj2
         _write(args.output, mux_mj2(outs, w, h), binary=True)
+    elif args.output and args.output.endswith(".mxf"):
+        from ffmpeg_ht_tpu.containers.mxf import mux_mxf
+        ncomp = 1 if pix.startswith("gray") else 3
+        depth = 16 if pix.endswith("16le") else 8
+        _write(args.output, mux_mxf(outs, w, h, ncomp=ncomp, depth=depth),
+               binary=True)
     elif nframes == 1 and "%" not in (args.output or ""):
         _write(args.output, outs[0], binary=True)
     elif args.output and "%" in args.output:
