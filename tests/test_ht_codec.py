@@ -208,8 +208,10 @@ def test_ht_3pass_device_path(ffmpeg, monkeypatch):
     monkeypatch.setattr(ht_dec, "decode_htj2k",
                         lambda *a, **k: calls.append(a) or orig(*a, **k))
     assert Decoder().decode(data).tobytes() == img.tobytes()
-    # 64x64 frame = one full-size codeblock: no host-prefill fallback
-    assert not calls, "refined block fell back to the host oracle"
+    # full-size refined codeblocks must decode on device; only sub-64-
+    # sample edge slivers (low reslevels) may use the host oracle
+    big = [a for a in calls if a[4] * a[5] >= 64]
+    assert not big, f"refined blocks fell back to the host oracle: {big}"
 
 
 def test_native_encoder_matches_python():
