@@ -102,6 +102,24 @@ def main() -> None:
                                           "mb_out_per_frame": round(mb, 2)}
     print(f"# c3 4K 4:4:4 10-bit: {fps4k:.3f} fps", file=sys.stderr)
 
+    # c3 device-compute rate: dispatch + on-device completion without the
+    # packed-output fetch. On the tunneled bench chip the pipeline number
+    # above is link-bound (mb_out/frame at ~10-16 MB/s); this isolates
+    # what a direct-attached chip would sustain.
+    from ffmpeg_ht_tpu.codestream.parser import parse_codestream
+    hdr4k = parse_codestream(streams_4k[0], bitexact=True)
+    fast = dec._fast_launch(hdr4k)
+    if fast is not None:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _fg, packed = dec._fast_launch(hdr4k)
+            packed.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        detail["c3_device_compute"] = {"fps": round(1.0 / best, 3)}
+        print(f"# c3 device-compute (no fetch): {1.0 / best:.3f} fps",
+              file=sys.stderr)
+
     # config 4: 8K tiled 10-bit gray lossless (1024x1024 tiles)
     b8k = _smooth(4320, 7680, 0, 1023, np.uint16)
     streams = [encode_frame_htj2k(b8k, depth=10, tile_width=1024,

@@ -425,14 +425,35 @@ def _expn_slice(qntsty, reslevelno: int):
     return qntsty.expn[off:]
 
 
+def packet_order(hdr: MainHeader, th: TileHeader, tile: Tile):
+    """(compno, reslevelno, precno) triples in stream order.
+
+    Single-layer/no-POC helper for the native T2 fast path: replays the
+    same progression iteration decode_tile_packets uses, without touching
+    any stream."""
+    order = []
+
+    def visit(compno, reslevelno, precno, layno):
+        order.append((compno, reslevelno, precno))
+
+    _po_iteration(hdr, th, tile, None, 0, 0, 1, 33, hdr.siz.ncomponents,
+                  th.codsty[0].prog_order, visit=visit)
+    return order
+
+
 def _po_iteration(hdr: MainHeader, th: TileHeader, tile: Tile,
                   streams: _TileStreams, rspoc: int, cspoc: int, lyepoc: int,
-                  repoc: int, cepoc: int, ppoc: int) -> None:
+                  repoc: int, cepoc: int, ppoc: int, visit=None) -> None:
     """One progression-order iteration (jpeg2000dec.c:1544-1833)."""
     siz = hdr.siz
     ncomp = siz.ncomponents
 
     def dec(codsty, rlevel, precno, layno, qntsty, reslevelno):
+        if visit is not None:
+            compno = next(i for i, c in enumerate(th.codsty)
+                          if c is codsty)
+            visit(compno, reslevelno, precno, layno)
+            return
         decode_packet(hdr, th, tile, streams, codsty, rlevel, precno, layno,
                       _expn_slice(qntsty, reslevelno), qntsty.nguardbits)
 

@@ -40,8 +40,13 @@ from ffmpeg_ht_tpu.utils.errors import InvalidData
 from ffmpeg_ht_tpu.utils.log import logger
 
 _LANE_PAD = 8          # lane count rounded up to a multiple of this
-_HOST_AREA = 64        # codeblocks smaller than this decode on host (edge
-                       # slivers; keeps the per-geometry bucket count low)
+_HOST_AREA = 256       # codeblocks smaller than this decode on host (edge
+                       # slivers and low-resolution bands). Each device
+                       # bucket shape is its own compiled kernel variant
+                       # (~60 s compile / ~20 s cache load on this host),
+                       # so shipping a handful of tiny blocks to the
+                       # scalar oracle (~0.3 ms each) is the cheaper side
+                       # of the trade by orders of magnitude.
 
 
 _DEVICE_TRANSFORMS = (mk.DWT53, mk.DWT97_INT, mk.DWT97)
@@ -266,6 +271,30 @@ def _build_batch(hdr, tiles: List[Tile]):
     return geom, buckets, prefill
 
 
+def _replicate_geometry(g0: _Geometry, F: int) -> _Geometry:
+    """Frame-replicated geometry: F frames side by side in the flat
+    buffer (decode_batch lane merging)."""
+    planes = []
+    borders = []
+    ndecs = []
+    mct = []
+    tci = []
+    for f in range(F):
+        pbase = len(planes)
+        for (off, ph, pw) in g0.planes:
+            planes.append((off + f * g0.total, ph, pw))
+        borders.extend(g0.borders)
+        ndecs.extend(g0.ndecs)
+        mct.extend(g0.mct)
+        for idxs in g0.tile_comp_index:
+            tci.append(tuple(i + pbase for i in idxs))
+    return _Geometry(planes=planes, borders=tuple(borders),
+                     ndecs=tuple(ndecs), mct=tuple(mct),
+                     tile_comp_index=[list(t) for t in tci],
+                     cbps=g0.cbps, total=F * g0.total,
+                     transform=g0.transform)
+
+
 def _pad(n, q):
     return ((n + q - 1) // q) * q
 
@@ -285,8 +314,7 @@ def _bucket_arrays(b: _Bucket):
     padded to powers of two so the jitted entropy kernel's executable is
     reused across frames and geometries.
     """
-    from ffmpeg_ht_tpu.ops.ht_batch import (prepare_streams_batch,
-                                            stream_limits)
+    from ffmpeg_ht_tpu.ops.ht_batch import prepare_streams_with_limits
 
     n = len(b.rows)
     npad = _pow2(n, _LANE_PAD)
@@ -298,8 +326,8 @@ def _bucket_arrays(b: _Bucket):
     lcups[:n] = b.lcup
     pcups = np.zeros(npad, np.int64)
     pcups[:n] = b.pcup
-    msw, melw, vlcw = prepare_streams_batch(data, lcups, pcups)
-    ms_lim, mel_lim = stream_limits(data, lcups, pcups)
+    msw, melw, vlcw, ms_lim, mel_lim = prepare_streams_with_limits(
+        data, lcups, pcups)
 
     def vec(vals, fill, dtype=np.int32):
         a = np.full(npad, fill, dtype)
@@ -582,6 +610,10 @@ class Decoder:
     def decode(self, data: bytes) -> DecodedFrame:
         hdr = parse_codestream(data, bitexact=self.bitexact,
                                reduction_factor=self.reduction_factor)
+        fast = self._fast_launch(hdr)
+        if fast is not None:
+            fg, packed = fast
+            return self._finish(hdr, fg.tiles, fg.geom, packed)
         tiles = []
         for tileno in range(len(hdr.tiles)):
             tile = init_tile(hdr, tileno)
@@ -608,6 +640,10 @@ class Decoder:
         """
         hdr = parse_codestream(data, bitexact=self.bitexact,
                                reduction_factor=self.reduction_factor)
+        fast = self._fast_launch(hdr)
+        if fast is not None:
+            fg, packed = fast
+            return lambda: self._finish(hdr, fg.tiles, fg.geom, packed)
         tiles = []
         for tileno in range(len(hdr.tiles)):
             tile = init_tile(hdr, tileno)
@@ -647,10 +683,15 @@ class Decoder:
         """
         import jax.numpy as jnp
 
+        hdrs = [parse_codestream(data, bitexact=self.bitexact,
+                                 reduction_factor=self.reduction_factor)
+                for data in streams]
+        fast = self._fast_batch(hdrs)
+        if fast is not None:
+            return fast
+
         parsed = []
-        for data in streams:
-            hdr = parse_codestream(data, bitexact=self.bitexact,
-                                   reduction_factor=self.reduction_factor)
+        for hdr, data in zip(hdrs, streams):
             tiles = []
             for tileno in range(len(hdr.tiles)):
                 tile = init_tile(hdr, tileno)
@@ -687,26 +728,7 @@ class Decoder:
         prefill = np.concatenate([p[:-1] for p in prefills]
                                  + [np.zeros(1, prefills[0].dtype)])
 
-        # frame-replicated geometry
-        planes = []
-        borders = []
-        ndecs = []
-        mct = []
-        tci = []
-        for f in range(F):
-            pbase = len(planes)
-            for (off, ph, pw) in g0.planes:
-                planes.append((off + f * total, ph, pw))
-            borders.extend(g0.borders)
-            ndecs.extend(g0.ndecs)
-            mct.extend(g0.mct)
-            for idxs in g0.tile_comp_index:
-                tci.append(tuple(i + pbase for i in idxs))
-        gm = _Geometry(planes=planes, borders=tuple(borders),
-                       ndecs=tuple(ndecs), mct=tuple(mct),
-                       tile_comp_index=[list(t) for t in tci],
-                       cbps=g0.cbps, total=F * total,
-                       transform=g0.transform)
+        gm = _replicate_geometry(g0, F)
 
         buf = np.asarray(self._dispatch(gm, merged, prefill))
         if buf[-1] == 0:
@@ -748,14 +770,86 @@ class Decoder:
         # the link (the dense buffer is materialized on device)
         nz = np.nonzero(prefill[:-1])[0]
         if len(nz):
-            pf_idx = jnp.asarray(nz.astype(np.int32))
-            pf_val = jnp.asarray(prefill[nz])
+            pf_idx = nz.astype(np.int32)
+            pf_val = prefill[nz]
         else:
-            pf_idx = jnp.asarray(np.array([geom.total], np.int32))
-            pf_val = jnp.asarray(np.zeros(1, prefill.dtype))
+            pf_idx = np.array([geom.total], np.int32)
+            pf_val = np.zeros(1, prefill.dtype)
+        return self._dispatch_args(geom, shapes, bucket_args, pf_idx,
+                                   pf_val)
+
+    def _dispatch_args(self, geom: _Geometry, shapes, bucket_args,
+                       pf_idx, pf_val):
+        """Entropy + assembly launch from prepacked bucket args."""
+        import jax.numpy as jnp
+
         mus, oks = _entropy_stage(shapes, bucket_args)
         fn = _compiled_assembly(tuple(shapes), geom.key())
-        return fn(pf_idx, pf_val, mus, oks, bucket_args)
+        return fn(jnp.asarray(pf_idx), jnp.asarray(pf_val), mus, oks,
+                  bucket_args)
+
+    _FAST_GEOMS: Dict[Tuple, object] = {}
+
+    def _fast_launch(self, hdr):
+        """Flat-array lane (models/fastpath.py): native T2 + array
+        batching; None when the stream leaves the fast profile."""
+        from ffmpeg_ht_tpu.models import fastpath as FP
+        if not FP.fast_profile(hdr):
+            return None
+        key = FP.geometry_fingerprint(hdr)
+        fg = Decoder._FAST_GEOMS.get(key)
+        if fg is None:
+            fg = FP.FlatGeometry(hdr)
+            Decoder._FAST_GEOMS[key] = fg
+        cols = FP.parse_frame_flat(hdr, fg)
+        if cols is None:
+            return None
+        accum = FP.build_bucket_args(fg, cols)
+        shapes, bucket_args, pf_idx, pf_val = FP.finish_buckets(
+            accum, fg.geom.total)
+        packed = self._dispatch_args(fg.geom, shapes, bucket_args,
+                                     pf_idx, pf_val)
+        return fg, packed
+
+    def _fast_batch(self, hdrs) -> "List[DecodedFrame] | None":
+        """Flat-array lane for decode_batch: per-frame native T2 parses
+        accumulate into shared buckets with frame-shifted dest indices."""
+        from ffmpeg_ht_tpu.models import fastpath as FP
+        if not hdrs or not all(FP.fast_profile(h) for h in hdrs):
+            return None
+        keys = {FP.geometry_fingerprint(h) for h in hdrs}
+        if len(keys) != 1:
+            return None
+        key = keys.pop()
+        fg = Decoder._FAST_GEOMS.get(key)
+        if fg is None:
+            fg = FP.FlatGeometry(hdrs[0])
+            Decoder._FAST_GEOMS[key] = fg
+        F = len(hdrs)
+        total = fg.geom.total
+        accum = None
+        for f, h in enumerate(hdrs):
+            cols = FP.parse_frame_flat(h, fg)
+            if cols is None:
+                return None
+            accum = FP.build_bucket_args(fg, cols, dest_shift=f * total,
+                                         prev=accum)
+        shapes, bucket_args, pf_idx, pf_val = FP.finish_buckets(
+            accum, F * total)
+        gm = _replicate_geometry(fg.geom, F)
+        buf = np.asarray(self._dispatch_args(gm, shapes, bucket_args,
+                                             pf_idx, pf_val))
+        if buf[-1] == 0:
+            raise InvalidData("invalid HT codestream (U bound violated)")
+        frames = []
+        off = 0
+        for f, hdr in enumerate(hdrs):
+            outs = []
+            for (o, ph, pw) in fg.geom.planes:
+                outs.append(buf[off:off + ph * pw].reshape(ph, pw))
+                off += ph * pw
+            frames.append(self._assemble_frame(hdr, fg.tiles, outs))
+        return frames
 
     def _launch(self, hdr, tiles):
         """Upload + dispatch the device program; no host sync.

@@ -143,6 +143,23 @@ def prepare_streams_batch(data, lcup, pcup):
     return (_trim_pow2(msw), _trim_pow2(melw), _trim_pow2(vlcw))
 
 
+def prepare_streams_with_limits(data, lcup, pcup):
+    """prepare_streams_batch + stream_limits in one pass.
+
+    The native tier computes the limits for free while packing; the
+    numpy fallback pays a second pass over the byte matrix."""
+    data = np.asarray(data, np.uint8)
+    lcup = np.asarray(lcup, np.int64)
+    pcup = np.asarray(pcup, np.int64)
+    from ffmpeg_ht_tpu.utils import native
+    res = native.ht_prepare_streams(data, lcup, pcup, want_limits=True)
+    if res is not None:
+        return res
+    msw, melw, vlcw = prepare_streams_batch(data, lcup, pcup)
+    ms_lim, mel_lim = stream_limits(data, lcup, pcup)
+    return msw, melw, vlcw, ms_lim, mel_lim
+
+
 def stream_limits(data, lcup, pcup):
     """Per-lane first-word-index past stored content for MagSgn and MEL.
 

@@ -66,15 +66,16 @@ def load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     _LIB = lib
     return _LIB
 
 
 def ht_prepare_streams(data: np.ndarray, lcup: np.ndarray,
-                       pcup: np.ndarray):
-    """Native stream prep; returns (msw, melw, vlcw) or None if no lib."""
+                       pcup: np.ndarray, want_limits: bool = False):
+    """Native stream prep; returns (msw, melw, vlcw[, ms_lim, mel_lim])
+    or None if no lib."""
     lib = load()
     if lib is None:
         return None
@@ -87,15 +88,18 @@ def ht_prepare_streams(data: np.ndarray, lcup: np.ndarray,
     melw = np.zeros((n, w_cap), np.uint32)
     vlcw = np.zeros((n, w_cap), np.uint32)
     maxw = np.zeros(1, np.int64)
+    ms_lim = np.zeros(n, np.int32)
+    mel_lim = np.zeros(n, np.int32)
     rc = lib.ht_prepare_streams(
         data.ctypes.data, n, l, lcup.ctypes.data, pcup.ctypes.data,
         msw.ctypes.data, melw.ctypes.data, vlcw.ctypes.data,
-        w_cap, maxw.ctypes.data)
+        w_cap, maxw.ctypes.data, ms_lim.ctypes.data, mel_lim.ctypes.data)
     if rc != 0:
         return None
     # per-stream pow2 widths (matches ht_batch._trim_pow2)
     from ffmpeg_ht_tpu.ops.ht_batch import _trim_pow2
-    return (_trim_pow2(msw), _trim_pow2(melw), _trim_pow2(vlcw))
+    out = (_trim_pow2(msw), _trim_pow2(melw), _trim_pow2(vlcw))
+    return out + (ms_lim, mel_lim) if want_limits else out
 
 
 # ---------------------------------------------------------------------------
@@ -180,3 +184,57 @@ def ht_encode_cleanup(mag: np.ndarray, sign: np.ndarray, zbp: int):
     if lcup < 0:
         return None
     return bytes(out[:lcup]), int(lcup)
+
+
+# ---------------------------------------------------------------------------
+# T2 packet-header parser (native/t2parse.c)
+# ---------------------------------------------------------------------------
+
+_T2_BOUND = False
+
+
+def t2_parse_packets(body: bytes, pkt_nband, pkt_csty, pkt_style,
+                     bi_base, bi_cw, bi_ch, bi_magb, roi_shift: int,
+                     ncblks: int):
+    """Native single-layer packet-header parse.
+
+    Returns dict of flat per-cblk arrays, or None when the library is
+    unavailable / the stream leaves the supported profile (caller falls
+    back to the Python T2).  Raises InvalidData on malformed headers
+    (error parity with t2.decode_packet)."""
+    lib = load()
+    if lib is None:
+        return None
+    global _T2_BOUND
+    if not _T2_BOUND:
+        lib.t2_parse_packets.restype = ctypes.c_int
+        lib.t2_parse_packets.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                         ctypes.c_int32] \
+            + [ctypes.c_void_p] * 7 \
+            + [ctypes.c_int32, ctypes.c_int32] + [ctypes.c_void_p] * 8
+        _T2_BOUND = True
+    npackets = len(pkt_nband)
+    o = {k: np.zeros(ncblks, np.int32)
+         for k in ("incl", "zbp", "nzb", "npasses")}
+    o.update({k: np.zeros(ncblks, np.int64)
+              for k in ("lcup", "lref", "off", "len")})
+    bodyb = np.frombuffer(body, np.uint8)
+    rc = lib.t2_parse_packets(
+        bodyb.ctypes.data, len(body), npackets,
+        np.ascontiguousarray(pkt_nband, np.int32).ctypes.data,
+        np.ascontiguousarray(pkt_csty, np.int32).ctypes.data,
+        np.ascontiguousarray(pkt_style, np.int32).ctypes.data,
+        np.ascontiguousarray(bi_base, np.int32).ctypes.data,
+        np.ascontiguousarray(bi_cw, np.int32).ctypes.data,
+        np.ascontiguousarray(bi_ch, np.int32).ctypes.data,
+        np.ascontiguousarray(bi_magb, np.int32).ctypes.data,
+        roi_shift, ncblks,
+        o["incl"].ctypes.data, o["zbp"].ctypes.data, o["nzb"].ctypes.data,
+        o["npasses"].ctypes.data, o["lcup"].ctypes.data,
+        o["lref"].ctypes.data, o["off"].ctypes.data, o["len"].ctypes.data)
+    if rc == -100:
+        return None
+    if rc != 0:
+        from ffmpeg_ht_tpu.utils.errors import InvalidData
+        raise InvalidData("malformed packet headers (native T2)")
+    return o

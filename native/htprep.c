@@ -99,7 +99,8 @@ static int64_t pack_vlc(const uint8_t *dcup, int64_t lcup, int64_t pcup,
 int ht_prepare_streams(const uint8_t *data, int64_t n, int64_t l,
                        const int64_t *lcup, const int64_t *pcup,
                        uint32_t *msw, uint32_t *melw, uint32_t *vlcw,
-                       int64_t w_words, int64_t *max_words_out)
+                       int64_t w_words, int64_t *max_words_out,
+                       int32_t *ms_lim, int32_t *mel_lim)
 {
     int64_t maxw = 0;
     int64_t cap_bits = (w_words - 2) * 32;
@@ -114,6 +115,12 @@ int ht_prepare_streams(const uint8_t *data, int64_t n, int64_t l,
         int64_t b2 = pack_mel(row + pc, lc - pc, melw + i * w_words);
         int64_t b3 = pack_vlc(row, lc, pc, vlcw + i * w_words);
         int64_t w1 = (b1 + 31) >> 5, w2 = (b2 + 31) >> 5, w3 = (b3 + 31) >> 5;
+        /* first all-synthesized word index: payload + the 64-ones tail,
+         * floor-divided (ht_batch.stream_limits parity) */
+        if (ms_lim)
+            ms_lim[i] = (int32_t)(b1 >> 5);
+        if (mel_lim)
+            mel_lim[i] = (int32_t)(b2 >> 5);
         if (w1 > maxw) maxw = w1;
         if (w2 > maxw) maxw = w2;
         if (w3 > maxw) maxw = w3;

@@ -1,0 +1,393 @@
+/* Native tier-2 packet-header parser (single-layer fast path).
+ *
+ * The measured host bottleneck of the device pipeline is the per-codeblock
+ * Python work in codestream/t2.py: packet-header bit reads, tag-tree
+ * decodes, and the HT segment-length machine. This C parser handles the
+ * profile the flagship decode path uses -- single quality layer, no
+ * PPM/PPT/POC, any progression order (the *order* is computed by Python,
+ * which passes band-instances in stream order) -- and emits flat per-
+ * codeblock arrays the batcher consumes without building Python objects.
+ *
+ * Behavior parity, branch for branch, with the Python implementation
+ * (itself paritied against jpeg2000dec.c):
+ *   bit reader        bitio.PacketBitReader   (jpeg2000dec.c:70-90)
+ *   tag tree          tagtree.TagTree.decode  (jpeg2000dec.c:93-131)
+ *   packet decode     t2.decode_packet        (jpeg2000dec.c:1136-1541)
+ *   length machine    t2._decode_lengths      (jpeg2000dec.c:1256-1439)
+ *
+ * Anything outside the profile (HT-MIXED transitions, TERMALL/BYPASS
+ * legacy segmentation, >16-bit lengths) returns T2_UNSUPPORTED and the
+ * caller falls back to the Python path.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define T2_OK 0
+#define T2_INVALID (-1)
+#define T2_UNSUPPORTED (-100)
+
+/* ---- bit reader (PacketBitReader parity) ---- */
+
+typedef struct {
+    const uint8_t *buf;
+    int64_t pos, end;
+    int bit_index;
+} BitReader;
+
+static inline int br_u8(BitReader *b)
+{
+    if (b->pos >= b->end)
+        return 0;
+    return b->buf[b->pos++];
+}
+
+static inline int br_peek(const BitReader *b)
+{
+    return b->pos < b->end ? b->buf[b->pos] : 0;
+}
+
+static inline int br_bit(BitReader *b)
+{
+    if (b->bit_index == 0)
+        b->bit_index = 7 + (br_u8(b) != 0xFF);
+    b->bit_index--;
+    return (br_peek(b) >> b->bit_index) & 1;
+}
+
+static inline uint32_t br_bits(BitReader *b, int n)
+{
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++)
+        v = (v << 1) | br_bit(b);
+    return v;
+}
+
+static inline void br_flush(BitReader *b)
+{
+    if (br_u8(b) == 0xFF)
+        b->pos = b->pos < b->end ? b->pos + 1 : b->pos;
+    b->bit_index = 8;
+}
+
+/* ---- tag tree (TagTree parity; levels from leaves to 1x1 root) ---- */
+
+typedef struct {
+    int n;
+    int *val, *vis, *parent;
+    int leaf_off;   /* leaves are nodes [0, w*h) */
+} TagTree;
+
+static int tt_init(TagTree *t, int w, int h)
+{
+    int sizes[64][2], nlev = 0, off = 0, offs[64];
+    int ww = w, hh = h;
+    while (ww > 1 || hh > 1) {
+        sizes[nlev][0] = ww; sizes[nlev][1] = hh; nlev++;
+        ww = (ww + 1) >> 1; hh = (hh + 1) >> 1;
+    }
+    sizes[nlev][0] = ww; sizes[nlev][1] = hh; nlev++;
+    for (int k = 0; k < nlev; k++) {
+        offs[k] = off;
+        off += sizes[k][0] * sizes[k][1];
+    }
+    t->n = off;
+    t->val = calloc((size_t)off, sizeof(int));
+    t->vis = calloc((size_t)off, sizeof(int));
+    t->parent = malloc((size_t)off * sizeof(int));
+    if (!t->val || !t->vis || !t->parent)
+        return -1;
+    for (int i = 0; i < off; i++)
+        t->parent[i] = -1;
+    for (int k = 0; k + 1 < nlev; k++) {
+        int lw = sizes[k][0], lh = sizes[k][1], o = offs[k];
+        int pw = sizes[k + 1][0], po = offs[k + 1];
+        for (int i = 0; i < lh; i++)
+            for (int j = 0; j < lw; j++)
+                t->parent[o + i * lw + j] = po + (i >> 1) * pw + (j >> 1);
+    }
+    t->leaf_off = 0;
+    return 0;
+}
+
+static void tt_free(TagTree *t)
+{
+    free(t->val); free(t->vis); free(t->parent);
+}
+
+static int tt_decode(TagTree *t, BitReader *br, int leaf, int threshold)
+{
+    int stack[64], sp = 0;
+    int node = leaf;
+    while (node >= 0 && !t->vis[node]) {
+        stack[sp++] = node;
+        node = t->parent[node];
+    }
+    int curval = node >= 0 ? t->val[node] : t->val[stack[sp - 1]];
+    while (curval < threshold && sp > 0) {
+        node = stack[--sp];
+        if (curval < t->val[node])
+            curval = t->val[node];
+        while (curval < threshold) {
+            if (br_bit(br)) {
+                t->vis[node]++;
+                break;
+            }
+            curval++;
+        }
+        t->val[node] = curval;
+    }
+    return curval;
+}
+
+/* ---- helpers ---- */
+
+static inline int av_log2i(uint32_t x)
+{
+    int n = -1;
+    while (x) { n++; x >>= 1; }
+    return n < 0 ? 0 : n;
+}
+
+static int getnpasses(BitReader *br)
+{
+    if (!br_bit(br)) return 1;
+    if (!br_bit(br)) return 2;
+    uint32_t num = br_bits(br, 2);
+    if (num != 3) return 3 + (int)num;
+    num = br_bits(br, 5);
+    if (num != 31) return 6 + (int)num;
+    return 37 + (int)br_bits(br, 7);
+}
+
+static int getlblockinc(BitReader *br)
+{
+    int res = 0;
+    while (br_bit(br))
+        res++;
+    return res;
+}
+
+/* style bits (markers.py) */
+#define CBLK_TERMALL 0x04
+#define CBLK_BYPASS  0x01
+#define CTSY_HTJ2K_F 0x40
+#define HT_PLHD_ON   1
+
+/* per-cblk parse state */
+typedef struct {
+    int incl, npasses, lblock, ht_plhd, modes;
+    int64_t lcup, lref, total;
+} CState;
+
+/* _decode_lengths parity for the supported profile; appends segment
+ * byte-counts to cs->lcup / cs->lref / cs->total. */
+static int decode_lengths(BitReader *br, CState *cs, int newpasses)
+{
+    int bits_to_read = 0;
+    int64_t segment_bytes = 0;
+    int segment_passes = 0, next_segment_passes = 0;
+
+    if (cs->ht_plhd) {
+        int href_passes = (cs->npasses + newpasses - 1) % 3;
+        segment_passes = newpasses - href_passes;
+        int pass_bound = 2;
+        bits_to_read = cs->lblock;
+        if (segment_passes < 1) {
+            /* placeholder passes or MIXED: fall back */
+            return T2_UNSUPPORTED;
+        }
+        while (pass_bound <= segment_passes) {
+            bits_to_read++;
+            pass_bound += pass_bound;
+        }
+        segment_bytes = br_bits(br, bits_to_read);
+        if (segment_bytes) {
+            if (cs->modes & CTSY_HTJ2K_F) {
+                /* HTONLY first cleanup (the HT_MIXED variants fall back
+                 * in the caller by cblk_style gating) */
+                if (segment_bytes < 2)
+                    return T2_INVALID;
+                next_segment_passes = 2;
+                cs->ht_plhd = 0;
+                cs->lcup = segment_bytes;
+            } else {
+                return T2_UNSUPPORTED;
+            }
+        } else {
+            return T2_UNSUPPORTED;  /* placeholder-ish; rare */
+        }
+    } else if (cs->modes & CTSY_HTJ2K_F) {
+        /* quality layer commences with a non-initial HT pass — cannot
+         * happen with a single layer */
+        return T2_UNSUPPORTED;
+    } else if (!(cs->modes & (CBLK_TERMALL | CBLK_BYPASS))) {
+        bits_to_read = cs->lblock + av_log2i((uint32_t)newpasses);
+        segment_bytes = br_bits(br, bits_to_read);
+        segment_passes = newpasses;
+    } else {
+        return T2_UNSUPPORTED;      /* RESTART/BYPASS segmentation */
+    }
+
+    cs->npasses += segment_passes;
+    cs->total += segment_bytes;
+
+    if ((cs->modes & CTSY_HTJ2K_F) && !cs->ht_plhd) {
+        newpasses -= segment_passes;
+        while (newpasses > 0) {
+            segment_passes = newpasses > 1 ? next_segment_passes : 1;
+            next_segment_passes = 3 - next_segment_passes;
+            bits_to_read = cs->lblock + av_log2i((uint32_t)segment_passes);
+            segment_bytes = br_bits(br, bits_to_read);
+            newpasses -= segment_passes;
+            cs->lref += segment_bytes;
+            cs->npasses += segment_passes;
+            cs->total += segment_bytes;
+        }
+    } else {
+        newpasses -= segment_passes;
+        if (newpasses > 0)
+            return T2_UNSUPPORTED;
+    }
+    return T2_OK;
+}
+
+/* ---- the parser ---- */
+
+int t2_parse_packets(
+    const uint8_t *body, int64_t body_len,
+    int32_t npackets,
+    const int32_t *pkt_nband,
+    const int32_t *pkt_csty,
+    const int32_t *pkt_cblk_style,
+    const int32_t *bi_cblk_base,
+    const int32_t *bi_cw,
+    const int32_t *bi_ch,
+    const int32_t *bi_magb,
+    int32_t roi_shift,
+    int32_t ncblks,
+    int32_t *o_incl, int32_t *o_zbp, int32_t *o_nzb,
+    int32_t *o_npasses, int64_t *o_lcup, int64_t *o_lref,
+    int64_t *o_off, int64_t *o_len)
+{
+    BitReader br = { body, 0, body_len, 8 };
+    int bi = 0;
+    int ret = T2_OK;
+
+    memset(o_incl, 0, (size_t)ncblks * sizeof(int32_t));
+
+    for (int p = 0; p < npackets && ret == T2_OK; p++) {
+        int nband = pkt_nband[p];
+        int csty = pkt_csty[p];
+        int style = pkt_cblk_style[p];
+
+        if (style & ~CTSY_HTJ2K_F) {    /* VSC/TERMALL/BYPASS/... */
+            ret = T2_UNSUPPORTED;
+            break;
+        }
+
+        /* SOP before the packet (select_stream, jpeg2000dec.c:1125-1132) */
+        if (csty & 0x02) {
+            if (br.pos + 4 <= br.end
+                && br.buf[br.pos] == 0xFF && br.buf[br.pos + 1] == 0x91)
+                br.pos += 6;
+        }
+
+        if (!br_bit(&br)) {             /* empty packet */
+            br_flush(&br);
+            if (csty & 0x04) {          /* EPH */
+                if (br.pos + 2 <= br.end
+                    && br.buf[br.pos] == 0xFF && br.buf[br.pos + 1] == 0x92)
+                    br.pos += 2;
+            }
+            bi += nband;
+            continue;
+        }
+
+        /* pass 1: headers */
+        int first_bi = bi;
+        /* remember which cblks got new passes this packet and how long */
+        /* (single layer: each cblk contributes one contiguous range)   */
+        for (int b = 0; b < nband && ret == T2_OK; b++, bi++) {
+            int cw = bi_cw[bi], ch = bi_ch[bi];
+            int base = bi_cblk_base[bi];
+            int magb = bi_magb[bi];
+            int ncb = cw * ch;
+            if (!ncb)
+                continue;
+            TagTree incl_t, zero_t;
+            if (tt_init(&incl_t, cw, ch) || tt_init(&zero_t, cw, ch))
+                return T2_INVALID;
+            for (int c = 0; c < ncb && ret == T2_OK; c++) {
+                int idx = base + c;
+                int included;
+                /* layno == 0 */
+                included = tt_decode(&incl_t, &br, c, 1) == 0;
+                if (included) {
+                    int zbp = tt_decode(&zero_t, &br, c, 100);
+                    int v = magb - (zbp - roi_shift);
+                    if (v < 0 || v > 30) {
+                        ret = T2_INVALID;
+                        break;
+                    }
+                    o_incl[idx] = 1;
+                    o_zbp[idx] = zbp;
+                    o_nzb[idx] = v;
+
+                    CState cs = { 1, /*npasses*/ 0, /*lblock*/ 3,
+                                  (style & CTSY_HTJ2K_F) ? HT_PLHD_ON : 0,
+                                  style, 0, 0, 0 };
+                    int newpasses = getnpasses(&br);
+                    if (newpasses >= 100) {     /* MAX_PASSES guard */
+                        ret = T2_UNSUPPORTED;
+                        break;
+                    }
+                    int llen = getlblockinc(&br);
+                    if (cs.lblock + llen + av_log2i((uint32_t)newpasses)
+                        > 16) {
+                        ret = T2_UNSUPPORTED;
+                        break;
+                    }
+                    cs.lblock += llen;
+                    int r = decode_lengths(&br, &cs, newpasses);
+                    if (r != T2_OK) {
+                        ret = r;
+                        break;
+                    }
+                    o_npasses[idx] = cs.npasses;
+                    o_lcup[idx] = cs.lcup ? cs.lcup : cs.total;
+                    o_lref[idx] = cs.lref;
+                    o_len[idx] = cs.total;
+                }
+            }
+            tt_free(&incl_t);
+            tt_free(&zero_t);
+        }
+        if (ret != T2_OK)
+            break;
+
+        br_flush(&br);
+        if (csty & 0x04) {              /* EPH */
+            if (br.pos + 2 <= br.end
+                && br.buf[br.pos] == 0xFF && br.buf[br.pos + 1] == 0x92)
+                br.pos += 2;
+        }
+
+        /* pass 2: payload offsets (stream order = cblk order) */
+        for (int b2 = first_bi; b2 < first_bi + nband; b2++) {
+            int ncb = bi_cw[b2] * bi_ch[b2];
+            int base = bi_cblk_base[b2];
+            for (int c = 0; c < ncb; c++) {
+                int idx = base + c;
+                if (o_incl[idx] && o_len[idx] > 0) {
+                    if (br.pos + o_len[idx] > br.end)
+                        return T2_INVALID;
+                    o_off[idx] = br.pos;
+                    br.pos += o_len[idx];
+                }
+            }
+        }
+    }
+    return ret;
+}
