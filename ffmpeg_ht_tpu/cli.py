@@ -57,6 +57,14 @@ def _cmd_decode(args) -> int:
         pending = [dec.decode_async(s) for s in streams]
         frames = [p() for p in pending]
 
+    if getattr(args, "pix_fmt", None):
+        from ffmpeg_ht_tpu.models.swscale import convert
+        try:
+            frames = [convert(f, args.pix_fmt) for f in frames]
+        except ValueError as e:
+            logger.error(str(e))
+            return 1
+
     if args.format == "rawvideo":
         payload = mux.rawvideo(frames)
         _write(args.output, payload, binary=True)
@@ -241,6 +249,9 @@ def main(argv=None) -> int:
                    help="use the float 9/7 path (default: bitexact int)")
     d.add_argument("--lowres", type=int, default=0,
                    help="resolution reduction factor (decoder lowres)")
+    d.add_argument("--pix-fmt", dest="pix_fmt", default=None,
+                   help="convert output to this pixel format "
+                        "(models/swscale.py, the libswscale analog)")
     d.add_argument("--benchmark", action="store_true")
     d.set_defaults(func=_cmd_decode, bitexact=True)
 

@@ -1,0 +1,111 @@
+"""swscale-analog conversions (models/swscale.py) vs the reference.
+
+Exactness tiers: lossless ops (replication, pack/unpack, depth upshift)
+must round-trip exactly; color-space transforms must match the
+reference's swscale within a small LSB budget (its exact output depends
+on dither state, which is out of scope by design).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import ffmpeg_decode_raw_bytes
+
+
+def _ref_decode_pixfmt(ffmpeg, data, pix):
+    """Reference decode with an OUTPUT-side -pix_fmt (swscale path)."""
+    import subprocess, tempfile, os
+    with tempfile.NamedTemporaryFile(suffix=".j2k", delete=False) as f:
+        f.write(data)
+        p = f.name
+    try:
+        r = subprocess.run([ffmpeg, "-loglevel", "error", "-flags",
+                            "+bitexact", "-i", p, "-pix_fmt", pix,
+                            "-f", "rawvideo", "-"],
+                           check=True, capture_output=True)
+    finally:
+        os.unlink(p)
+    return r.stdout
+
+from ffmpeg_ht_tpu.models.encoder import encode_frame_htj2k
+from ffmpeg_ht_tpu.models.host_decoder import decode_frame
+from ffmpeg_ht_tpu.models.swscale import _fmt, convert
+from ffmpeg_ht_tpu.models.host_decoder import DecodedFrame
+
+RNG = np.random.default_rng(55)
+
+
+def test_lossless_roundtrips():
+    g = RNG.integers(0, 256, (32, 40), dtype=np.uint8)
+    f = DecodedFrame(fmt=_fmt("gray"), width=40, height=32, planes=[g])
+    rgb = convert(f, "rgb24")
+    assert np.array_equal(convert(rgb, "gray").planes[0], g)
+    f16 = convert(f, "gray16le")
+    assert np.array_equal(f16.planes[0], g.astype(np.uint16) * 257)
+    assert np.array_equal(convert(f16, "gray").planes[0], g)
+    r48 = convert(rgb, "rgb48le")
+    assert np.array_equal(convert(r48, "rgb24").planes[0], rgb.planes[0])
+
+
+def test_yuv_rgb_inverse_pair():
+    rgb = RNG.integers(0, 256, (32, 3 * 40), dtype=np.uint8)
+    fr = DecodedFrame(fmt=_fmt("rgb24"), width=40, height=32, planes=[rgb])
+    back = convert(convert(fr, "yuv444p"), "rgb24")
+    err = np.abs(back.planes[0].astype(int) - rgb.astype(int))
+    assert err.max() <= 2     # limited-range quantization, no subsampling
+
+
+def test_gray_to_rgb_matches_reference(ffmpeg):
+    """gray j2k decoded with -pix_fmt rgb24: sws replicates Y; exact."""
+    img = RNG.integers(0, 256, (48, 56), dtype=np.uint8)
+    data = encode_frame_htj2k(img)
+    ref = _ref_decode_pixfmt(ffmpeg, data, "rgb24")
+    ours = convert(decode_frame(data, bitexact=True), "rgb24")
+    assert ours.tobytes() == ref
+
+
+def test_yuv_to_rgb_close_to_reference(ffmpeg):
+    """yuv444p content to rgb24: BT.601 limited-range, within sws's
+    dither/rounding envelope."""
+    planes = [RNG.integers(16, 236, (48, 64), dtype=np.uint8),
+              RNG.integers(16, 241, (24, 32), dtype=np.uint8),
+              RNG.integers(16, 241, (24, 32), dtype=np.uint8)]
+    data = encode_frame_htj2k(planes, chroma_shift=(1, 1))
+    frame = decode_frame(data, bitexact=True)
+    if not frame.fmt.name.startswith("yuv"):
+        pytest.skip(f"negotiated {frame.fmt.name}, not yuv")
+    ref = _ref_decode_pixfmt(ffmpeg, data, "rgb24")
+    ours = convert(frame, "rgb24").tobytes()
+    a = np.frombuffer(ours, np.uint8).astype(int)
+    b = np.frombuffer(ref, np.uint8).astype(int)
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() <= 3
+
+
+def test_subsampled_yuv_output_shapes():
+    rgb = RNG.integers(0, 256, (30, 3 * 42), dtype=np.uint8)
+    fr = DecodedFrame(fmt=_fmt("rgb24"), width=42, height=30, planes=[rgb])
+    out = convert(fr, "yuv420p")
+    assert out.planes[0].shape == (30, 42)
+    assert out.planes[1].shape == (15, 21)
+    assert out.planes[2].shape == (15, 21)
+    # and back within tolerance
+    back = convert(out, "rgb24")
+    assert back.planes[0].shape == (30, 3 * 42)
+
+
+def test_cli_pix_fmt_flag(tmp_path):
+    import subprocess, sys, os
+    img = RNG.integers(0, 256, (32, 32), dtype=np.uint8)
+    p = tmp_path / "t.j2k"
+    p.write_bytes(encode_frame_htj2k(img))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["FFMPEG_HT_TPU_NO_NATIVE"] = ""
+    r = subprocess.run([sys.executable, "-m", "ffmpeg_ht_tpu.cli",
+                        "decode", str(p), "--host", "--pix-fmt", "rgb48le",
+                        "-o", "-"], capture_output=True, env=env)
+    assert r.returncode == 0
+    assert len(r.stdout) == 32 * 32 * 3 * 2
+    got = np.frombuffer(r.stdout, "<u2")[0::3].reshape(32, 32)
+    assert np.array_equal(got, img.astype(np.uint16) * 257)
