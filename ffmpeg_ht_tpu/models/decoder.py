@@ -185,8 +185,12 @@ def _build_batch(hdr, tiles: List[Tile]):
                                         if num_rempass
                                         else cblk.npasses - 3)
                             z_blk = cblk.npasses - num_plhd
+                            # placeholder passes shift the bitplane:
+                            # S_blk = p0 + zbp (ht_dec.py:611,627)
+                            zbp_eff = cblk.zbp + num_plhd // 3
                             causal = bool(cblk.modes & mk.CBLK_VSC)
-                            if w * h < _HOST_AREA or cblk.zbp + 1 > 25 \
+                            if w * h < _HOST_AREA \
+                                    or zbp_eff + 1 > 25 \
                                     or (z_blk > 1 and causal):
                                 # tiny edge slivers, extreme-bitplane
                                 # blocks (the kernel's MagSgn reads cap
@@ -224,7 +228,7 @@ def _build_batch(hdr, tiles: List[Tile]):
                                 raise InvalidData(f"invalid Scup {scup}")
                             buf[lcup - 1] = 0xFF
                             buf[lcup - 2] |= 0x0F
-                            zbp = cblk.zbp
+                            zbp = zbp_eff
                             # bucket by shape AND a pow2 stream-length
                             # class: lanes of similar length pack
                             # together, keeping the (N, W) upload close

@@ -72,8 +72,12 @@ class EncoderConfig:
     log2_prec_width: int = 0    # user precincts (0 = maximal 2^15); HT
     log2_prec_height: int = 0   # encoder only
     ht_layers: int = 1     # HT quality layers: 2 splits Cleanup (layer 0)
-                           # from SigProp+MagRef (layer 1) — a quality-
-                           # scalable HT stream (needs refinement=True)
+                           # from SigProp+MagRef (layer 1); 3 prepends a
+                           # layer of three zero-length placeholder
+                           # passes (T.814 multi-layer scalability — the
+                           # decoder's ht_plhd "extra length bits" branch,
+                           # t2.py:303-316 / jpeg2000dec.c:1300-1318).
+                           # Both need refinement=True
     mct: bool = False      # component transform (RCT if pred=1, ICT if 0);
                            # HT encoder only (j2kenc never signals MCT)
 
@@ -580,6 +584,28 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                                         dict(npasses=2, cum_passes=3,
                                              data_start=lcup,
                                              data_len=lref, disto=0)]
+                                elif nlayers_ht == 3:
+                                    # three zero-length placeholder
+                                    # passes first: the decoder counts
+                                    # them into num_plhd so z_blk stays
+                                    # 3, and p0 = num_plhd//3 = 1 enters
+                                    # S_blk (ht_dec.py:609-628), so the
+                                    # signaled zerobits drops by one to
+                                    # keep pLSB identical
+                                    e.nonzerobits = 3
+                                    e.npasses = 6
+                                    e.ninclpasses = 6
+                                    e.passes = e.passes * 2
+                                    e.layers = [
+                                        dict(npasses=3, cum_passes=3,
+                                             data_start=0, data_len=0,
+                                             disto=0),
+                                        dict(npasses=1, cum_passes=4,
+                                             data_start=0, data_len=lcup,
+                                             disto=0),
+                                        dict(npasses=2, cum_passes=6,
+                                             data_start=lcup,
+                                             data_len=lref, disto=0)]
                                 else:
                                     e.ht_segments = [(1, lcup), (2, lref)]
                                     e.layers = [dict(npasses=3,
@@ -595,13 +621,30 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                             e.data = dcup
                             e.passes = [t1_enc.Pass(rate=lcup, disto=0,
                                                     flushed=b"")]
-                            e.layers = [dict(npasses=1, cum_passes=1,
-                                             data_start=0, data_len=lcup,
-                                             disto=0)] \
-                                + [dict(npasses=0, cum_passes=1,
-                                        data_start=lcup, data_len=0,
-                                        disto=0)
-                                   for _ in range(nlayers_ht - 1)]
+                            if nlayers_ht == 3:
+                                e.nonzerobits = magb - zbp + 1
+                                e.npasses = 4
+                                e.ninclpasses = 4
+                                e.passes = e.passes * 4
+                                e.layers = [
+                                    dict(npasses=3, cum_passes=3,
+                                         data_start=0, data_len=0,
+                                         disto=0),
+                                    dict(npasses=1, cum_passes=4,
+                                         data_start=0, data_len=lcup,
+                                         disto=0),
+                                    dict(npasses=0, cum_passes=4,
+                                         data_start=lcup, data_len=0,
+                                         disto=0)]
+                            else:
+                                e.layers = [dict(npasses=1, cum_passes=1,
+                                                 data_start=0,
+                                                 data_len=lcup,
+                                                 disto=0)] \
+                                    + [dict(npasses=0, cum_passes=1,
+                                            data_start=lcup, data_len=0,
+                                            disto=0)
+                                       for _ in range(nlayers_ht - 1)]
 
         body = bytearray()
         bnds = [] if cfg.tp_interval else None

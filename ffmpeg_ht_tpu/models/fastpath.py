@@ -279,10 +279,12 @@ def build_bucket_args(fg: FlatGeometry, cols: dict, dest_shift=0,
     w = fg.w[idx]
     h = fg.h[idx]
 
-    # z_blk from npasses (ht_dec.py:609-612)
+    # z_blk from npasses (ht_dec.py:609-612); placeholder passes shift
+    # the bitplane: S_blk = p0 + zbp (ht_dec.py:611,627)
     rem = npasses % 3
     plhd = np.where(rem, npasses - rem, npasses - 3)
     zblk = npasses - plhd
+    zbp = zbp + plhd // 3
 
     # host-oracle lanes: edge slivers and extreme bitplanes
     host = fg.area_small[idx] | (zbp + 1 > 25)

@@ -57,3 +57,18 @@ def test_ht_rgb_layers_multitile(ffmpeg):
     ref = ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k", "-flags",
                                   "+bitexact")
     assert decode_frame(data, bitexact=True).tobytes() == ref
+
+
+def test_ht_placeholder_passes_decode_parity(ffmpeg):
+    """Three-layer HT stream whose first layer is three zero-length
+    placeholder passes: exercises the decoder's ht_plhd extra-length-bit
+    branch and the p0 = num_plhd//3 bitplane shift (t2.py:303-316,
+    ht_dec.py:609-628). Cross-validated against the reference decoder
+    and the TPU Decoder front door."""
+    from ffmpeg_ht_tpu.models.decoder import Decoder
+    img = RNG.integers(0, 256, (96, 128), dtype=np.uint8)
+    data = encode_frame_htj2k(img, refinement=True, ht_layers=3)
+    assert decode_frame(data, bitexact=True).tobytes() == img.tobytes()
+    assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k", "-flags",
+                                   "+bitexact") == img.tobytes()
+    assert Decoder().decode(data).tobytes() == img.tobytes()
