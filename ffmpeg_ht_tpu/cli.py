@@ -50,10 +50,12 @@ def _cmd_decode(args) -> int:
         for s in streams:
             frames.append(host_decoder.decode_frame(
                 s, bitexact=args.bitexact,
-                reduction_factor=args.lowres))
+                reduction_factor=args.lowres,
+                max_layers=args.max_layers))
     else:
         dec = Decoder(bitexact=args.bitexact,
-                      reduction_factor=args.lowres)
+                      reduction_factor=args.lowres,
+                      max_layers=args.max_layers)
         pending = [dec.decode_async(s) for s in streams]
         frames = [p() for p in pending]
 
@@ -249,6 +251,9 @@ def main(argv=None) -> int:
                    help="use the float 9/7 path (default: bitexact int)")
     d.add_argument("--lowres", type=int, default=0,
                    help="resolution reduction factor (decoder lowres)")
+    d.add_argument("--max-layers", type=int, default=0,
+                   help="decode only the first N quality layers "
+                        "(progressive-quality cap; 0 = all)")
     d.add_argument("--pix-fmt", dest="pix_fmt", default=None,
                    help="convert output to this pixel format "
                         "(models/swscale.py, the libswscale analog)")

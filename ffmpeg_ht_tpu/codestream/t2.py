@@ -87,14 +87,39 @@ class _TileStreams:
                 logger.error("SOP marker not found")
 
 
+_CBLK_LAYER_STATE = ("npasses", "lblock", "modes", "ht_plhd", "length",
+                     "nb_terminations", "nb_terminationsinc", "incl",
+                     "zbp", "nonzerobits")
+
+
 def decode_packet(hdr: MainHeader, th: TileHeader, tile: Tile,
                   streams: _TileStreams, codsty, rlevel, precno: int,
-                  layno: int, expn, numgbits: int) -> None:
-    """One packet (jpeg2000dec.c:1136-1541)."""
+                  layno: int, expn, numgbits: int,
+                  discard: bool = False) -> None:
+    """One packet (jpeg2000dec.c:1136-1541).
+
+    `discard` parses the packet and advances the stream but leaves every
+    codeblock's decoded state untouched (the max_layers quality cap: a
+    capped layer's packets still occupy stream bytes, and in
+    layer-interleaved progressions they sit between packets we keep)."""
     prec0 = rlevel.band[0].prec[precno]
     if layno < prec0.decoded_layers:
         return
     prec0.decoded_layers = layno + 1
+
+    saves = None
+    if discard:
+        saves = []
+        for band in rlevel.band:
+            if (band.coord[0][0] == band.coord[0][1]
+                    or band.coord[1][0] == band.coord[1][1]):
+                continue
+            for cblk in band.prec[precno].cblk:
+                saves.append((cblk,
+                              {k: getattr(cblk, k, 0)
+                               for k in _CBLK_LAYER_STATE},
+                              list(cblk.pass_lengths),
+                              list(cblk.data_start), len(cblk.data)))
 
     br = streams.br
     if hdr.has_ppm:
@@ -198,6 +223,16 @@ def decode_packet(hdr: MainHeader, th: TileHeader, tile: Tile,
                     cblk.data += b"\xFF\xFF"
                     cblk.length += 2
                     cblk.data_start.append(cblk.length)
+            cblk.lengthinc = []
+
+    if saves is not None:
+        # max_layers discard: stream consumed, codeblock state restored
+        for cblk, st, plens, dstarts, dlen in saves:
+            for k, v in st.items():
+                setattr(cblk, k, v)
+            cblk.pass_lengths[:] = plens
+            cblk.data_start[:] = dstarts
+            del cblk.data[dlen:]
             cblk.lengthinc = []
 
 
@@ -394,8 +429,13 @@ def _decode_lengths(br: PacketBitReader, cblk, codsty, newpasses: int) -> None:
             cblk.lengthinc.append(segment_bytes)
 
 
-def decode_tile_packets(hdr: MainHeader, tileno: int, tile: Tile) -> None:
-    """All packets of a tile (jpeg2000_decode_packets, jpeg2000dec.c:1835-1869)."""
+def decode_tile_packets(hdr: MainHeader, tileno: int, tile: Tile,
+                        max_layers: int = 0) -> None:
+    """All packets of a tile (jpeg2000_decode_packets, jpeg2000dec.c:1835-1869).
+
+    `max_layers` > 0 keeps only the first N quality layers (the
+    progressive-quality analog of the resolution cap `reduction_factor`;
+    capped layers' packets are parsed and skipped in place)."""
     th = hdr.tiles[tileno]
     # distribute PPM header slices in SOD order on first use
     if hdr.has_ppm and hdr.tile_part_order \
@@ -414,10 +454,12 @@ def decode_tile_packets(hdr: MainHeader, tileno: int, tile: Tile) -> None:
         for e in th.poc.entries:
             _po_iteration(hdr, th, tile, streams, e.rspoc, e.cspoc,
                           min(e.lyepoc, th.codsty[0].nlayers), e.repoc,
-                          min(e.cepoc, hdr.siz.ncomponents), e.ppoc)
+                          min(e.cepoc, hdr.siz.ncomponents), e.ppoc,
+                          max_layers=max_layers)
     else:
         _po_iteration(hdr, th, tile, streams, 0, 0, th.codsty[0].nlayers,
-                      33, hdr.siz.ncomponents, th.codsty[0].prog_order)
+                      33, hdr.siz.ncomponents, th.codsty[0].prog_order,
+                      max_layers=max_layers)
 
 
 def _expn_slice(qntsty, reslevelno: int):
@@ -443,7 +485,8 @@ def packet_order(hdr: MainHeader, th: TileHeader, tile: Tile):
 
 def _po_iteration(hdr: MainHeader, th: TileHeader, tile: Tile,
                   streams: _TileStreams, rspoc: int, cspoc: int, lyepoc: int,
-                  repoc: int, cepoc: int, ppoc: int, visit=None) -> None:
+                  repoc: int, cepoc: int, ppoc: int, visit=None,
+                  max_layers: int = 0) -> None:
     """One progression-order iteration (jpeg2000dec.c:1544-1833)."""
     siz = hdr.siz
     ncomp = siz.ncomponents
@@ -455,7 +498,8 @@ def _po_iteration(hdr: MainHeader, th: TileHeader, tile: Tile,
             visit(compno, reslevelno, precno, layno)
             return
         decode_packet(hdr, th, tile, streams, codsty, rlevel, precno, layno,
-                      _expn_slice(qntsty, reslevelno), qntsty.nguardbits)
+                      _expn_slice(qntsty, reslevelno), qntsty.nguardbits,
+                      discard=bool(max_layers) and layno >= max_layers)
 
     if ppoc == mk.PGOD_RLCP or ppoc == mk.PGOD_LRCP:
         outer_r = ppoc == mk.PGOD_RLCP

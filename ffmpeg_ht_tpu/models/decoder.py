@@ -606,9 +606,11 @@ class Decoder:
     compiles; subsequent frames of the same geometry reuse the executable.
     """
 
-    def __init__(self, bitexact: bool = True, reduction_factor: int = 0):
+    def __init__(self, bitexact: bool = True, reduction_factor: int = 0,
+                 max_layers: int = 0):
         self.bitexact = bitexact
         self.reduction_factor = reduction_factor
+        self.max_layers = max_layers
         _enable_persistent_cache()
 
     def decode(self, data: bytes) -> DecodedFrame:
@@ -621,14 +623,15 @@ class Decoder:
         tiles = []
         for tileno in range(len(hdr.tiles)):
             tile = init_tile(hdr, tileno)
-            decode_tile_packets(hdr, tileno, tile)
+            decode_tile_packets(hdr, tileno, tile, self.max_layers)
             tiles.append(tile)
 
         if not _supported_on_device(hdr, tiles):
             logger.debug("decoder: falling back to host path")
             return host_decoder.decode_frame(
                 data, bitexact=self.bitexact,
-                reduction_factor=self.reduction_factor)
+                reduction_factor=self.reduction_factor,
+                max_layers=self.max_layers)
 
         return self._device_decode(hdr, tiles)
 
@@ -651,12 +654,13 @@ class Decoder:
         tiles = []
         for tileno in range(len(hdr.tiles)):
             tile = init_tile(hdr, tileno)
-            decode_tile_packets(hdr, tileno, tile)
+            decode_tile_packets(hdr, tileno, tile, self.max_layers)
             tiles.append(tile)
         if not _supported_on_device(hdr, tiles):
             frame = host_decoder.decode_frame(
                 data, bitexact=self.bitexact,
-                reduction_factor=self.reduction_factor)
+                reduction_factor=self.reduction_factor,
+                max_layers=self.max_layers)
             return lambda: frame
         geom, packed = self._launch(hdr, tiles)
         return lambda: self._finish(hdr, tiles, geom, packed)
@@ -699,7 +703,7 @@ class Decoder:
             tiles = []
             for tileno in range(len(hdr.tiles)):
                 tile = init_tile(hdr, tileno)
-                decode_tile_packets(hdr, tileno, tile)
+                decode_tile_packets(hdr, tileno, tile, self.max_layers)
                 tiles.append(tile)
             parsed.append((hdr, tiles, data))
 
@@ -798,7 +802,7 @@ class Decoder:
         """Flat-array lane (models/fastpath.py): native T2 + array
         batching; None when the stream leaves the fast profile."""
         from ffmpeg_ht_tpu.models import fastpath as FP
-        if not FP.fast_profile(hdr):
+        if self.max_layers or not FP.fast_profile(hdr):
             return None
         key = FP.geometry_fingerprint(hdr)
         fg = Decoder._FAST_GEOMS.get(key)
@@ -819,7 +823,8 @@ class Decoder:
         """Flat-array lane for decode_batch: per-frame native T2 parses
         accumulate into shared buckets with frame-shifted dest indices."""
         from ffmpeg_ht_tpu.models import fastpath as FP
-        if not hdrs or not all(FP.fast_profile(h) for h in hdrs):
+        if self.max_layers or not hdrs \
+                or not all(FP.fast_profile(h) for h in hdrs):
             return None
         keys = {FP.geometry_fingerprint(h) for h in hdrs}
         if len(keys) != 1:

@@ -154,7 +154,8 @@ def _write_frame(hdr: MainHeader, tile: Tile, comp_planes, fmt: pf.PixFmt,
 
 
 def decode_frame(data: bytes, bitexact: bool = False,
-                 reduction_factor: int = 0) -> DecodedFrame:
+                 reduction_factor: int = 0,
+                 max_layers: int = 0) -> DecodedFrame:
     """Decode one J2C/JP2/JPH frame entirely on host."""
     hdr = parse_codestream(data, bitexact=bitexact,
                            reduction_factor=reduction_factor)
@@ -173,7 +174,7 @@ def decode_frame(data: bytes, bitexact: bool = False,
 
     for tileno in range(len(hdr.tiles)):
         tile = init_tile(hdr, tileno)
-        decode_tile_packets(hdr, tileno, tile)
+        decode_tile_packets(hdr, tileno, tile, max_layers)
         comp_planes = _tile_codeblocks(hdr, tile)
         if tile.codsty[0].mct:
             _mct(tile, comp_planes)

@@ -72,3 +72,24 @@ def test_ht_placeholder_passes_decode_parity(ffmpeg):
     assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k", "-flags",
                                    "+bitexact") == img.tobytes()
     assert Decoder().decode(data).tobytes() == img.tobytes()
+
+
+def test_max_layers_quality_cap():
+    """Decoder(max_layers=1) on a 2-layer HT stream keeps only the
+    Cleanup layer: valid decode, close to but different from the full
+    reconstruction (SigProp+MagRef refine the last bitplane), and
+    identical between the host and TPU front doors."""
+    from ffmpeg_ht_tpu.models.decoder import Decoder
+    img = RNG.integers(0, 256, (96, 128), dtype=np.uint8)
+    data = encode_frame_htj2k(img, refinement=True, ht_layers=2)
+    full = decode_frame(data, bitexact=True)
+    capped = decode_frame(data, bitexact=True, max_layers=1)
+    a = np.frombuffer(capped.tobytes(), np.uint8).astype(int)
+    b = np.frombuffer(full.tobytes(), np.uint8).astype(int)
+    assert not np.array_equal(a, b)
+    assert np.abs(a - b).max() <= 8  # LSB refinements through the DWT
+    assert Decoder(max_layers=1).decode(data).tobytes() \
+        == capped.tobytes()
+    # capping at >= the layer count is a no-op
+    assert decode_frame(data, bitexact=True,
+                        max_layers=5).tobytes() == full.tobytes()
