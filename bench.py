@@ -10,8 +10,8 @@ are measured too and shipped in the same JSON line under "detail":
   1. 512x512 8-bit gray lossless (5/3), 16-frame motion batch
   2. 1920x1080 8-bit RGB lossy 9/7 + ICT (float path, ffmpeg's default)
   3. 4K 10-bit 4:4:4 lossless, 64x64 codeblocks   <- headline
-  4. 8K tiled (1024x1024 tiles) 10-bit lossless
-  5. N=2 parallel 4K motion streams, 2 frames each, one merged launch
+  4. 8K tiled (1024x1024 tiles) 10-bit, 64x64 precincts, 2 layers
+  5. 4 parallel 4K Motion-HTJ2K frames demuxed from an MXF container
 
 Numbers include host parse + stream prep + transfers + device compute
 (the tunneled link is the wall for the big configs; mb_out/frame is
@@ -120,26 +120,34 @@ def main() -> None:
         print(f"# c3 device-compute (no fetch): {1.0 / best:.3f} fps",
               file=sys.stderr)
 
-    # config 4: 8K tiled 10-bit gray lossless (1024x1024 tiles)
+    # config 4: 8K tiled 10-bit gray lossless, 64x64 precincts and two
+    # quality layers (Cleanup / SigProp+MagRef split) per BASELINE.json:
+    # "multiple precincts and quality layers (stress codeblock batching)"
     b8k = _smooth(4320, 7680, 0, 1023, np.uint16)
     streams = [encode_frame_htj2k(b8k, depth=10, tile_width=1024,
                                   tile_height=1024, log2_cblk_width=6,
-                                  log2_cblk_height=6)]
+                                  log2_cblk_height=6, log2_prec_width=6,
+                                  refinement=True, ht_layers=2)]
     fps, mb = _time_batch(dec, streams, reps=2)
-    detail["c4_8k_tiled_10bit"] = {"fps": round(fps, 3),
-                                   "mb_out_per_frame": round(mb, 2)}
-    print(f"# c4 8K tiled: {fps:.3f} fps", file=sys.stderr)
+    detail["c4_8k_tiled_prec_layers"] = {"fps": round(fps, 3),
+                                         "mb_out_per_frame": round(mb, 2)}
+    print(f"# c4 8K tiled prec+layers: {fps:.3f} fps", file=sys.stderr)
 
-    # config 5: N=2 parallel 4K motion streams x 2 frames, merged launch
-    streams = streams_4k * 2 + [
+    # config 5: N=2 parallel 4K Motion-HTJ2K streams from a real MXF
+    # container (BASELINE.json: "Motion-HTJ2K sequence (MJ2/MXF)")
+    from ffmpeg_ht_tpu.containers.mxf import demux_mxf, mux_mxf
+    seq = streams_4k + [
         encode_frame_htj2k(np.stack([np.roll(b10, k, 1)] * 3, axis=2),
                            depth=10, tile_width=4096, tile_height=4096,
                            log2_cblk_width=6, log2_cblk_height=6)
-        for k in (3, 7)]
+        for k in (3, 7, 11)]
+    mxf = mux_mxf(seq, 3840, 2160, ncomp=3, depth=10)
+    streams = list(demux_mxf(mxf))
+    assert streams == seq, "MXF round-trip corrupted the essence"
     fps, mb = _time_batch(dec, streams, reps=2)
-    detail["c5_2x4k_motion"] = {"fps": round(fps, 3),
-                                "mb_out_per_frame": round(mb, 2)}
-    print(f"# c5 2x4K motion: {fps:.3f} fps", file=sys.stderr)
+    detail["c5_mxf_4k_motion"] = {"fps": round(fps, 3),
+                                  "mb_out_per_frame": round(mb, 2)}
+    print(f"# c5 MXF 4K motion: {fps:.3f} fps", file=sys.stderr)
 
     print(json.dumps({
         "metric": "decode_fps_4k_444_10bit_lossless_tpu",
