@@ -208,9 +208,11 @@ def test_ht_3pass_device_path(ffmpeg, monkeypatch):
     monkeypatch.setattr(ht_dec, "decode_htj2k",
                         lambda *a, **k: calls.append(a) or orig(*a, **k))
     assert Decoder().decode(data).tobytes() == img.tobytes()
-    # full-size refined codeblocks must decode on device; only sub-64-
-    # sample edge slivers (low reslevels) may use the host oracle
-    big = [a for a in calls if a[4] * a[5] >= 64]
+    # full-size refined codeblocks must decode on device; only blocks
+    # under the host-area threshold (edge slivers / low reslevels) may
+    # use the scalar oracle
+    from ffmpeg_ht_tpu.models.decoder import _HOST_AREA
+    big = [a for a in calls if a[4] * a[5] >= _HOST_AREA]
     assert not big, f"refined blocks fell back to the host oracle: {big}"
 
 
