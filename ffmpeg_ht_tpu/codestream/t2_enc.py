@@ -32,6 +32,13 @@ class BitPacker:
             self.put_bits((num >> i) & 1, 1)
 
     def flush(self) -> None:
+        # a packet header may not end on an 0xFF byte: the decoder's
+        # flush unconditionally skips one extra byte after 0xFF
+        # (jpeg2000_flush, jpeg2000dec.c:85-90), so append the stuffing
+        # byte it will consume. Content-dependent and rare — a header
+        # whose final byte fills up as all-ones.
+        if self.buf and self.buf[-1] == 0xFF:
+            self.buf.append(0)
         self.bit_index = 8
 
     def put_bytes(self, b: bytes) -> None:
