@@ -99,7 +99,7 @@ class _Bucket:
     fscale: List[float] = field(default_factory=list)  # float dequant scale
     dest: List[int] = field(default_factory=list)    # flat index of (y0,x0)
     stride: List[int] = field(default_factory=list)  # plane row stride
-    dref: List[bytes] = field(default_factory=list)  # refinement segment
+    dref: List[tuple] = field(default_factory=list)  # (Dref bytes, lref)
     zblk: List[int] = field(default_factory=list)    # 1..3 HT passes
 
     @property
@@ -796,7 +796,7 @@ class Decoder:
         return fn(jnp.asarray(pf_idx), jnp.asarray(pf_val), mus, oks,
                   bucket_args)
 
-    _FAST_GEOMS: Dict[Tuple, object] = {}
+    _FAST_GEOMS: Dict[Tuple, object] = {}   # bounded in _fast_geom
 
     def _fast_launch(self, hdr):
         """Flat-array lane (models/fastpath.py): native T2 + array
@@ -804,11 +804,7 @@ class Decoder:
         from ffmpeg_ht_tpu.models import fastpath as FP
         if self.max_layers or not FP.fast_profile(hdr):
             return None
-        key = FP.geometry_fingerprint(hdr)
-        fg = Decoder._FAST_GEOMS.get(key)
-        if fg is None:
-            fg = FP.FlatGeometry(hdr)
-            Decoder._FAST_GEOMS[key] = fg
+        fg = self._fast_geom(hdr)
         cols = FP.parse_frame_flat(hdr, fg)
         if cols is None:
             return None
@@ -818,6 +814,18 @@ class Decoder:
         packed = self._dispatch_args(fg.geom, shapes, bucket_args,
                                      pf_idx, pf_val)
         return fg, packed
+
+    @staticmethod
+    def _fast_geom(hdr):
+        from ffmpeg_ht_tpu.models import fastpath as FP
+        key = FP.geometry_fingerprint(hdr)
+        fg = Decoder._FAST_GEOMS.get(key)
+        if fg is None:
+            if len(Decoder._FAST_GEOMS) >= 32:   # bound the plan cache
+                Decoder._FAST_GEOMS.pop(next(iter(Decoder._FAST_GEOMS)))
+            fg = FP.FlatGeometry(hdr)
+            Decoder._FAST_GEOMS[key] = fg
+        return fg
 
     def _fast_batch(self, hdrs) -> "List[DecodedFrame] | None":
         """Flat-array lane for decode_batch: per-frame native T2 parses
@@ -829,11 +837,8 @@ class Decoder:
         keys = {FP.geometry_fingerprint(h) for h in hdrs}
         if len(keys) != 1:
             return None
-        key = keys.pop()
-        fg = Decoder._FAST_GEOMS.get(key)
-        if fg is None:
-            fg = FP.FlatGeometry(hdrs[0])
-            Decoder._FAST_GEOMS[key] = fg
+        keys.pop()
+        fg = self._fast_geom(hdrs[0])
         F = len(hdrs)
         total = fg.geom.total
         accum = None

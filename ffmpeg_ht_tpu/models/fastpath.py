@@ -22,7 +22,7 @@ and the caller uses the object path.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional  # noqa: F401
 
 import numpy as np
 
@@ -68,7 +68,7 @@ def fast_profile(hdr) -> bool:
 class FlatGeometry:
     """Per-geometry static plan (cached across frames)."""
 
-    __slots__ = ("tiles", "geom", "x", "y", "w", "h", "dest", "stride",
+    __slots__ = ("tiles", "geom", "w", "h", "dest", "stride",
                  "magb", "istep", "scale97", "fscale", "fstep", "ncblks",
                  "tile_pkts", "tile_range", "area_small")
 
@@ -189,7 +189,6 @@ class FlatGeometry:
             setattr(self, k, np.asarray(cols[k], np.int64))
         self.fscale = np.asarray(cols["fscale"], np.float64)
         self.fstep = np.asarray(cols["fstep"], np.float64)
-        self.x = self.y = None
         self.ncblks = len(cols["w"])
         self.area_small = (self.w * self.h) < _HOST_AREA
 
@@ -347,8 +346,7 @@ def build_bucket_args(fg: FlatGeometry, cols: dict, dest_shift=0,
         li = di[lane_sel]
         b = accum["buckets"].setdefault(
             (int(u >> 40), int((u >> 24) & 0xFFFF), int(u & 0xFFFFFF)),
-            {"rows": [], "gi": [], "zbp": [], "zblk": [], "lcup": [],
-             "lref": [], "dest": []})
+            {"rows": [], "gi": [], "zbp": [], "dest": []})
         b["rows"].append((cols["body"], off[lane_sel], lcup[lane_sel],
                           lref[lane_sel], zblk[lane_sel]))
         b["gi"].append(li)
