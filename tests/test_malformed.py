@@ -108,3 +108,25 @@ def test_missing_first_tile_part_rejected():
     data[tpsot] = 1
     with pytest.raises(J2KError):
         decode_frame(bytes(data))
+
+
+def test_device_host_agree_on_refined_mutants():
+    """Same mutant-agreement contract for 3-pass (SigProp/MagRef)
+    streams: the device refinement kernel and the native-T2 fast lane
+    must match the host oracle on every mutant — pixels or rejection."""
+    from ffmpeg_ht_tpu.models.encoder import encode_frame_htj2k
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    data = bytearray(encode_frame_htj2k(img, refinement=True))
+    # mutate tile-part data only: header mutations change the geometry,
+    # and every new geometry costs a fresh kernel compile on the 1-core
+    # test host; body mutations exercise exactly the entropy/refinement
+    # error paths this test is about
+    body0 = data.index(b"\xff\x93") + 2        # first SOD
+    for _ in range(16):
+        pos = int(rng.integers(body0, len(data)))
+        bit = 1 << int(rng.integers(0, 8))
+        mutated = bytearray(data)
+        mutated[pos] ^= bit
+        h, d = _decode_both(bytes(mutated))
+        assert h == d, f"host={h[0]} device={d[0]} at byte {pos} bit {bit}"
