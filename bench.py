@@ -120,6 +120,55 @@ def main() -> None:
         print(f"# c3 device-compute (no fetch): {1.0 / best:.3f} fps",
               file=sys.stderr)
 
+    # c3 device-RESIDENT steady state (VERDICT r2 item 1): the frame's
+    # bucket arrays are staged on device ONCE, then N full decode
+    # iterations (entropy kernels + dequant/scatter/DWT/MCT assembly)
+    # run back to back with no host->device data motion and no output
+    # fetch. This is the pure chip rate a direct-attached deployment
+    # sustains once the host parse pipeline keeps the queue full.
+    try:
+        from ffmpeg_ht_tpu.models import fastpath as FP
+        fg = dec._fast_geom(hdr4k)
+        cols = FP.parse_frame_flat(hdr4k, fg)
+        accum = FP.build_bucket_args(fg, cols)
+        shapes, bucket_args, pf_idx, pf_val = FP.finish_buckets(
+            accum, fg.geom.total)
+        import jax.numpy as jnp
+        pf_idx_d = jnp.asarray(pf_idx)
+        pf_val_d = jnp.asarray(pf_val)
+        packed = dec._dispatch_args(fg.geom, shapes, bucket_args,
+                                    pf_idx_d, pf_val_d)
+        packed.block_until_ready()          # warmup / compile
+        n_it = 10
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_it):
+                packed = dec._dispatch_args(fg.geom, shapes, bucket_args,
+                                            pf_idx_d, pf_val_d)
+            packed.block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / n_it)
+        detail["c3_device_resident"] = {"fps": round(1.0 / best, 3),
+                                        "ms_per_frame": round(best * 1e3, 2)}
+        print(f"# c3 device-resident: {1.0 / best:.3f} fps "
+              f"({best * 1e3:.1f} ms/frame)", file=sys.stderr)
+        # stage breakdown: entropy-only rate on the same resident buckets
+        from ffmpeg_ht_tpu.models.decoder import _entropy_stage
+        mus, oks = _entropy_stage(shapes, bucket_args)
+        for m in mus:
+            m.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(n_it):
+            mus, oks = _entropy_stage(shapes, bucket_args)
+        for m in mus:
+            m.block_until_ready()
+        ent = (time.perf_counter() - t0) / n_it
+        detail["c3_device_resident"]["entropy_ms"] = round(ent * 1e3, 2)
+        print(f"# c3 entropy stage: {ent * 1e3:.1f} ms/frame",
+              file=sys.stderr)
+    except Exception as e:  # never let the diagnostic kill the bench
+        print(f"# c3 device-resident failed: {e!r}", file=sys.stderr)
+
     # config 4: 8K tiled 10-bit gray lossless, 64x64 precincts and two
     # quality layers (Cleanup / SigProp+MagRef split) per BASELINE.json:
     # "multiple precincts and quality layers (stress codeblock batching)"

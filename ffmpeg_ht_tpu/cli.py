@@ -177,7 +177,8 @@ def _cmd_encode(args) -> int:
         from ffmpeg_ht_tpu.containers.mxf import mux_mxf
         ncomp = 1 if pix.startswith("gray") else 3
         depth = 16 if pix.endswith("16le") else 8
-        _write(args.output, mux_mxf(outs, w, h, ncomp=ncomp, depth=depth),
+        _write(args.output, mux_mxf(outs, w, h, ncomp=ncomp, depth=depth,
+                                    chroma_shifts=tuple(chroma)),
                binary=True)
     elif nframes == 1 and "%" not in (args.output or ""):
         _write(args.output, outs[0], binary=True)

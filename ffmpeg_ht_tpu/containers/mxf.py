@@ -156,7 +156,7 @@ def _index_table(edit_rate, nframes: int, offsets: List[int]) -> bytes:
 
 def mux_mxf(frames: List[bytes], width: int, height: int,
             ncomp: int = 1, depth: int = 8,
-            edit_rate=(25, 1)) -> bytes:
+            edit_rate=(25, 1), chroma_shifts=(0, 0)) -> bytes:
     """Wrap JPEG 2000 codestreams as a frame-wrapped OP1a MXF file.
 
     Structure per mxfenc.c:3195-3260; metadata tree limited to the sets
@@ -234,8 +234,12 @@ def mux_mxf(frames: List[bytes], width: int, height: int,
                (0x320C, bytes([0])),                  # FrameLayout
                (0x320E, struct.pack(">II", width, height)),  # Aspect
                (0x3301, struct.pack(">I", depth)),    # ComponentDepth
+               # sub-sampling from the real chroma shifts (2 for 4:2:x);
+               # mxfdec.c:1402-1412 reads both tags for pix_fmt choice
                (0x3302, struct.pack(">I",             # HorizSubsampling
-                                    1 if ncomp >= 3 else 1)))
+                                    1 << chroma_shifts[0])),
+               (0x3308, struct.pack(">I",             # VertSubsampling
+                                    1 << chroma_shifts[1])))
     package(0x36, 4, mat_umid, 0x20, 0x21, 0x22, (src_umid, 2))
     package(0x37, 5, src_umid, 0x30, 0x31, 0x32, (bytes(32), 0),
             descriptor=desc)

@@ -363,7 +363,9 @@ def _bucket_arrays(b: _Bucket):
             # past the stored data are zeros (oracle zero-extension)
             tail = dr[max(lr - MR_CAP, 0):lr]
             trow = np.frombuffer(tail, np.uint8)
-            dmr[i, lm - len(trow):lm] = trow
+            # left-align: a truncated stream is missing TAIL bytes, which
+            # must read as zeros (oracle end-of-stream zero-extension)
+            dmr[i, :len(trow)] = trow
             lmr[i] = lm
         extra = dict(
             spw=prepare_sigprop_stream(dsp, lsp),

@@ -78,6 +78,13 @@ class EncoderConfig:
                            # decoder's ht_plhd "extra length bits" branch,
                            # t2.py:303-316 / jpeg2000dec.c:1300-1318).
                            # Both need refinement=True
+    ht_plhd_single: bool = False  # single-layer placeholder passes:
+                           # signal npasses=6 (3 placeholders + Cleanup +
+                           # SigProp + MagRef) inside ONE packet, taking
+                           # the decoder's ht_plhd segment_passes=4 arm
+                           # (jpeg2000dec.c:1300-1318) without multiple
+                           # layers — the fast-lane (native/t2parse.c
+                           # ht_plhd branch) test-vector source
     mct: bool = False      # component transform (RCT if pred=1, ICT if 0);
                            # HT encoder only (j2kenc never signals MCT)
 
@@ -606,6 +613,23 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                                         dict(npasses=2, cum_passes=6,
                                              data_start=lcup,
                                              data_len=lref, disto=0)]
+                                elif cfg.ht_plhd_single:
+                                    # three placeholder passes folded
+                                    # into the single packet: npasses=6
+                                    # makes the decoder's ht_plhd arm
+                                    # read a 4-pass Cleanup segment
+                                    # (p0=1), so zerobits drops by one
+                                    # to keep pLSB identical
+                                    e.nonzerobits = 3
+                                    e.npasses = 6
+                                    e.ninclpasses = 6
+                                    e.passes = e.passes * 2
+                                    e.ht_segments = [(4, lcup), (2, lref)]
+                                    e.layers = [dict(npasses=6,
+                                                     cum_passes=6,
+                                                     data_start=0,
+                                                     data_len=len(data3),
+                                                     disto=0)]
                                 else:
                                     e.ht_segments = [(1, lcup), (2, lref)]
                                     e.layers = [dict(npasses=3,

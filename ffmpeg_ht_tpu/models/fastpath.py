@@ -279,14 +279,16 @@ def build_bucket_args(fg: FlatGeometry, cols: dict, dest_shift=0,
     h = fg.h[idx]
 
     # z_blk from npasses (ht_dec.py:609-612); placeholder passes shift
-    # the bitplane: S_blk = p0 + zbp (ht_dec.py:611,627)
+    # the bitplane: S_blk = p0 + zbp (ht_dec.py:611,627). zbp_eff is the
+    # device-lane view (pLSB/maxbp math); the host oracle takes the RAW
+    # zbp because decode_htj2k re-derives p0 from npasses itself.
     rem = npasses % 3
     plhd = np.where(rem, npasses - rem, npasses - 3)
     zblk = npasses - plhd
-    zbp = zbp + plhd // 3
+    zbp_eff = zbp + plhd // 3
 
     # host-oracle lanes: edge slivers and extreme bitplanes
-    host = fg.area_small[idx] | (zbp + 1 > 25)
+    host = fg.area_small[idx] | (zbp_eff + 1 > 25)
     accum = prev if prev is not None else {
         "buckets": {}, "pf_idx": [], "pf_val": [], "fg": fg}
 
@@ -298,7 +300,7 @@ def build_bucket_args(fg: FlatGeometry, cols: dict, dest_shift=0,
             gi = idx[k]
             data = cols["body"][off[k]:off[k] + cols["len"][gi]]
             t1 = ht_dec.decode_htj2k(
-                bytes(data), int(npasses[k]), int(zbp[k]),
+                bytes(data), int(npasses[k]), int(cols["zbp"][gi]),
                 [int(lcup[k]), int(lref[k])], int(w[k]), int(h[k]),
                 int(fg.magb[gi]), 0, 0)
             if tf == mk.DWT97:
@@ -324,7 +326,7 @@ def build_bucket_args(fg: FlatGeometry, cols: dict, dest_shift=0,
     w, h = fg.w[di], fg.h[di]
     lcup, lref = cols["lcup"][di], cols["lref"][di]
     off = cols["off"][di]
-    zbp = cols["zbp"][di]
+    zbp = zbp_eff[dev]
     zblk = zblk[dev]
 
     # Scup from the last two cleanup bytes (vectorized; error parity with
@@ -443,8 +445,10 @@ def finish_buckets(accum, total):
                 start = o + max(lr - MR_CAP, 0)
                 avail = max(min(lr - max(lr - MR_CAP, 0),
                                 len(bodyb) - start), 0)
+                # left-align: missing tail bytes (truncated stream) read
+                # as zeros, matching the oracle's end-of-stream extension
                 trow = np.frombuffer(bodyb, np.uint8, avail, start)
-                dmr[r, lm - len(trow):lm] = trow
+                dmr[r, :len(trow)] = trow
                 lmr[r] = lm
             args.update(
                 spw=prepare_sigprop_stream(dsp, lsp),

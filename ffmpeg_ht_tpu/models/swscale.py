@@ -58,13 +58,17 @@ def _to_planes16(frame: DecodedFrame):
     name = f.name
     if name.startswith("gray"):
         return [frame.planes[0]], ("gray", (0, 0))
+    if name.startswith("ya"):
+        # gray + alpha, interleaved: convert from the gray plane, drop
+        # alpha (sws converts out of ya* by compositing/dropping; we drop)
+        return [frame.planes[0][:, 0::2]], ("gray", (0, 0))
     if name.startswith("rgb"):
         if f.planar:
             return list(frame.planes[:3]), ("rgb", (0, 0))
         il = frame.planes[0]
         return ([il[:, 0::3], il[:, 1::3], il[:, 2::3]],
                 ("rgb", (0, 0)))
-    if name.startswith("yuv") or name.startswith("ya"):
+    if name.startswith("yuv"):
         return (list(frame.planes[:3]),
                 ("yuv", (f.log2_chroma_w, f.log2_chroma_h)))
     raise ValueError(f"unsupported source format {name!r}")

@@ -287,11 +287,19 @@ int t2_parse_packets(
             break;
         }
 
-        /* SOP before the packet (select_stream, jpeg2000dec.c:1125-1132) */
+        /* SOP before the packet (select_stream, jpeg2000dec.c:1125-1132).
+         * The 6-byte segment (marker + Lsop + Nsop) must fit entirely;
+         * a truncated SOP at the stream tail is an error, not a silent
+         * cursor overrun. */
         if (csty & 0x02) {
-            if (br.pos + 4 <= br.end
-                && br.buf[br.pos] == 0xFF && br.buf[br.pos + 1] == 0x91)
+            if (br.pos + 2 <= br.end
+                && br.buf[br.pos] == 0xFF && br.buf[br.pos + 1] == 0x91) {
+                if (br.pos + 6 > br.end) {
+                    ret = T2_INVALID;
+                    break;
+                }
                 br.pos += 6;
+            }
         }
 
         if (!br_bit(&br)) {             /* empty packet */

@@ -74,6 +74,40 @@ def test_ht_placeholder_passes_decode_parity(ffmpeg):
     assert Decoder().decode(data).tobytes() == img.tobytes()
 
 
+def test_ht_single_layer_placeholder_fastlane(ffmpeg):
+    """Single-layer stream signaling npasses=6 (three placeholder passes
+    folded into one packet, ht_plhd_single): the native fast lane's
+    ht_plhd branch accepts it, so device lanes must apply the p0
+    bitplane shift (zbp_eff) while host-fallback lanes pass the RAW zbp
+    to the oracle, which derives p0 itself (ADVICE round-2, high)."""
+    from ffmpeg_ht_tpu.codestream.parser import parse_codestream
+    from ffmpeg_ht_tpu.models import fastpath as FP
+    from ffmpeg_ht_tpu.models.decoder import Decoder
+
+    img = RNG.integers(0, 256, (96, 128), dtype=np.uint8)
+    # 16x16 codeblocks: every lane takes the device kernel path
+    data = encode_frame_htj2k(img, refinement=True, ht_plhd_single=True)
+    hdr = parse_codestream(data, bitexact=True)
+    assert all(th.codsty[0].nlayers == 1 for th in hdr.tiles)
+    assert FP.fast_profile(hdr)
+    fg = Decoder._fast_geom(hdr)
+    cols = FP.parse_frame_flat(hdr, fg)
+    assert cols is not None and int(cols["npasses"].max()) == 6
+    assert decode_frame(data, bitexact=True).tobytes() == img.tobytes()
+    assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k", "-flags",
+                                   "+bitexact") == img.tobytes()
+    assert Decoder().decode(data).tobytes() == img.tobytes()
+
+    # 8x8 codeblocks (< _HOST_AREA): the same streams through the fast
+    # lane's host-oracle fallback lanes
+    data8 = encode_frame_htj2k(img, refinement=True, ht_plhd_single=True,
+                               log2_cblk_width=3, log2_cblk_height=3)
+    assert FP.fast_profile(parse_codestream(data8, bitexact=True))
+    assert ffmpeg_decode_raw_bytes(ffmpeg, data8, ".j2k", "-flags",
+                                   "+bitexact") == img.tobytes()
+    assert Decoder().decode(data8).tobytes() == img.tobytes()
+
+
 def test_max_layers_quality_cap():
     """Decoder(max_layers=1) on a 2-layer HT stream keeps only the
     Cleanup layer: valid decode, close to but different from the full
