@@ -308,7 +308,9 @@ def _get_sot(g: ByteReader, n: int, hdr: MainHeader) -> tuple:
     return isot, tpsot, tp_end
 
 
-def _get_tlm(g: ByteReader, n: int) -> None:
+def _get_tlm(g: ByteReader, n: int, hdr: MainHeader) -> None:
+    """Parse AND retain the tile-part length table (jpeg2000dec.c:901-930
+    validates; retention powers the only_tile random access)."""
     g.u8()  # Ztlm
     stlm = g.u8()
     st = (stlm >> 4) & 0x03
@@ -317,14 +319,13 @@ def _get_tlm(g: ByteReader, n: int) -> None:
     sp = (stlm >> 6) & 0x01
     ntiles = (n - 4) // ((sp + 1) * 2 + st)
     for _ in range(ntiles):
+        ttlm = None
         if st == 1:
-            g.u8()
+            ttlm = g.u8()
         elif st == 2:
-            g.u16()
-        if sp == 0:
-            g.u16()
-        else:
-            g.u32()
+            ttlm = g.u16()
+        ptlm = g.u16() if sp == 0 else g.u32()
+        hdr.tlm_records.append((ttlm, ptlm))
 
 
 def _get_plt(g: ByteReader, n: int) -> None:
@@ -446,15 +447,21 @@ def _parse_res(g: ByteReader, end: int, hdr: MainHeader) -> None:
 
 
 def parse_codestream(data: bytes, bitexact: bool = False,
-                     reduction_factor: int = 0) -> MainHeader:
+                     reduction_factor: int = 0,
+                     only_tile=None) -> MainHeader:
     """Parse a raw J2C codestream or JP2/JPH file into a MainHeader.
 
     Mirrors jpeg2000_decode_frame's header stage (jpeg2000dec.c:2825-2866) +
     jpeg2000_read_main_headers (jpeg2000dec.c:2425-2637).
+
+    only_tile=k + a TLM marker: tile-parts of other tiles are seeked
+    over without reading them (random access, jpeg2000dec.c:901-930);
+    hdr.tlm_skipped reports the untouched byte count.
     """
     hdr = MainHeader()
     hdr.bitexact = bitexact
     hdr.reduction_factor = reduction_factor
+    hdr.only_tile = only_tile
     g = ByteReader(data)
 
     if g.bytes_left() < 2:
@@ -556,6 +563,37 @@ def _read_main_headers(g: ByteReader, hdr: MainHeader) -> None:
         elif marker == mk.SOT:
             if not in_tile_headers:
                 in_tile_headers = True
+                if hdr.only_tile is not None and hdr.tlm_records:
+                    # TLM random access: seek over every tile-part that
+                    # does not belong to only_tile; those bytes are never
+                    # read (jpeg2000dec.c:901-930 analog)
+                    base = oldpos - 2
+                    pos = base
+                    for rec_i, (ttlm, ptlm) in \
+                            enumerate(hdr.tlm_records):
+                        t = ttlm if ttlm is not None else rec_i
+                        if ptlm < 14:
+                            raise InvalidData("TLM Ptlm too small")
+                        if t != hdr.only_tile:
+                            hdr.tlm_skipped += ptlm
+                        else:
+                            g.seek(pos + 2)
+                            ln = g.u16()
+                            isot, tpsot, tp_end = _get_sot(g, ln, hdr)
+                            if isot != t:
+                                raise InvalidData("TLM/Isot mismatch")
+                            if g.u16() != mk.SOD:
+                                raise InvalidData(
+                                    "TLM tile-part without SOD")
+                            tile = hdr.tiles[isot]
+                            payload = g.buf[g.tell():tp_end]
+                            tp = TilePart(tile_index=isot,
+                                          tp_index=tpsot, data=payload)
+                            tile.tile_parts.append(tp)
+                            hdr.tile_part_order.append(tp)
+                        pos += ptlm
+                    g.seek(pos)
+                    continue
             isot, tpsot, tp_end = _get_sot(g, length, hdr)
             curtileno = isot
             cur_tp = (isot, tpsot, tp_end)
@@ -571,7 +609,7 @@ def _read_main_headers(g: ByteReader, hdr: MainHeader) -> None:
                 raise InvalidData("Invalid CRG marker")
             g.skip(length - 2)
         elif marker == mk.TLM:
-            _get_tlm(g, length)
+            _get_tlm(g, length, hdr)
         elif marker == mk.PLT:
             _get_plt(g, length)
         elif marker == mk.PPM:

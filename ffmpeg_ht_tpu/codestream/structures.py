@@ -165,3 +165,10 @@ class MainHeader:
     # tile parts in codestream (SOD) order — PPM header slices are consumed
     # in this order (jpeg2000dec.c:2467-2473)
     tile_part_order: List[TilePart] = field(default_factory=list)
+    # TLM random access (jpeg2000dec.c:901-930): (Ttlm|None, Ptlm) per
+    # tile-part, in codestream order; only_tile activates skip-parsing
+    # (tile-parts of other tiles are seeked over, tlm_skipped counts the
+    # bytes never touched)
+    tlm_records: List = field(default_factory=list)
+    only_tile: Optional[int] = None
+    tlm_skipped: int = 0

@@ -467,19 +467,21 @@ def _expn_slice(qntsty, reslevelno: int):
     return qntsty.expn[off:]
 
 
-def packet_order(hdr: MainHeader, th: TileHeader, tile: Tile):
-    """(compno, reslevelno, precno) triples in stream order.
+def packet_order(hdr: MainHeader, th: TileHeader, tile: Tile,
+                 nlayers: int = 1):
+    """(compno, reslevelno, precno, layno) tuples in stream order.
 
-    Single-layer/no-POC helper for the native T2 fast path: replays the
-    same progression iteration decode_tile_packets uses, without touching
+    No-POC helper for the native T2 fast path: replays the same
+    progression iteration decode_tile_packets uses, without touching
     any stream."""
     order = []
 
     def visit(compno, reslevelno, precno, layno):
-        order.append((compno, reslevelno, precno))
+        order.append((compno, reslevelno, precno, layno))
 
-    _po_iteration(hdr, th, tile, None, 0, 0, 1, 33, hdr.siz.ncomponents,
-                  th.codsty[0].prog_order, visit=visit)
+    _po_iteration(hdr, th, tile, None, 0, 0, nlayers, 33,
+                  hdr.siz.ncomponents, th.codsty[0].prog_order,
+                  visit=visit)
     return order
 
 

@@ -67,6 +67,8 @@ _OP1A = bytes([0x06, 0x0E, 0x2B, 0x34, 0x04, 0x01, 0x01, 0x01,
                0x0D, 0x01, 0x02, 0x01, 0x01, 0x01, 0x09, 0x00])
 _EC_J2K = bytes([0x06, 0x0E, 0x2B, 0x34, 0x04, 0x01, 0x01, 0x07,
                  0x0D, 0x01, 0x03, 0x01, 0x02, 0x0C, 0x01, 0x00])
+# byte 14 is the ST 422 wrapping kind: 0x01 frame-, 0x02 clip-wrapped
+_EC_J2K_CLIP = _EC_J2K[:14] + bytes([0x02, 0x00])
 _CODING_J2K = bytes([0x06, 0x0E, 0x2B, 0x34, 0x04, 0x01, 0x01, 0x07,
                      0x04, 0x01, 0x02, 0x02, 0x03, 0x01, 0x01, 0x00])
 _ELEM_J2K = bytes([0x06, 0x0E, 0x2B, 0x34, 0x01, 0x02, 0x01, 0x01,
@@ -128,7 +130,7 @@ def _partition_pack(key: bytes, this: int, prev: int, footer: int,
     v += struct.pack(">I", index_sid)
     v += struct.pack(">QI", body_offset, body_sid)
     v += _OP1A
-    v += _batch([_EC_J2K])
+    v += _batch([_EC_J2K])   # partition pack: frame UL (informative)
     return key + _ber4(len(v)) + v
 
 
@@ -156,12 +158,19 @@ def _index_table(edit_rate, nframes: int, offsets: List[int]) -> bytes:
 
 def mux_mxf(frames: List[bytes], width: int, height: int,
             ncomp: int = 1, depth: int = 8,
-            edit_rate=(25, 1), chroma_shifts=(0, 0)) -> bytes:
-    """Wrap JPEG 2000 codestreams as a frame-wrapped OP1a MXF file.
+            edit_rate=(25, 1), chroma_shifts=(0, 0),
+            wrapping: str = "frame") -> bytes:
+    """Wrap JPEG 2000 codestreams as an OP1a MXF file.
 
-    Structure per mxfenc.c:3195-3260; metadata tree limited to the sets
-    and local tags the reference demuxer resolves
-    (mxfdec.c:1060-1230,1335-1420)."""
+    wrapping="frame": one essence KLV per codestream (default);
+    "clip": a single essence KLV holding every codestream back to back
+    (ST 422 clip wrapping — EssenceContainer UL byte 14 flips to 0x02;
+    mxfdec.c ClipWrapped analog). Structure per mxfenc.c:3195-3260;
+    metadata tree limited to the sets and local tags the reference
+    demuxer resolves (mxfdec.c:1060-1230,1335-1420)."""
+    if wrapping not in ("frame", "clip"):
+        raise ValueError(f"unknown wrapping {wrapping!r}")
+    ec_ul = _EC_J2K_CLIP if wrapping == "clip" else _EC_J2K
     nframes = len(frames)
     rate = struct.pack(">II", edit_rate[0], edit_rate[1])
     dur = struct.pack(">Q", nframes)
@@ -188,7 +197,7 @@ def mux_mxf(frames: List[bytes], width: int, height: int,
         (0x3B06, _batch([ident])),                    # Identifications
         (0x3B03, content),                            # ContentStorage
         (0x3B09, _OP1A),                              # OperationalPattern
-        (0x3B0A, _batch([_EC_J2K])))                  # EssenceContainers
+        (0x3B0A, _batch([ec_ul])))                    # EssenceContainers
     # ContentStorage -> packages + essence container data
     mat_pkg, src_pkg, ecd = _uid(4), _uid(5), _uid(6)
     add(0x18, 3, (0x1901, _batch([mat_pkg, src_pkg])),
@@ -227,7 +236,7 @@ def mux_mxf(frames: List[bytes], width: int, height: int,
     desc = add(0x28, 7,                               # CDCI descriptor
                (0x3006, struct.pack(">I", 2)),        # LinkedTrackID
                (0x3001, rate),                        # SampleRate
-               (0x3004, _EC_J2K),                     # EssenceContainer
+               (0x3004, ec_ul),                       # EssenceContainer
                (0x3201, _CODING_J2K),                 # PictureEssenceCoding
                (0x3203, struct.pack(">I", width)),
                (0x3202, struct.pack(">I", height)),
@@ -256,9 +265,19 @@ def mux_mxf(frames: List[bytes], width: int, height: int,
     out += header_meta
     body_start = len(out)
     offsets = []
-    for f in frames:
-        offsets.append(len(out) - body_start)
-        out += _ELEM_J2K + _ber4(len(f)) + bytes(f)
+    if wrapping == "clip":
+        # one KLV with every codestream back to back; index offsets are
+        # edit-unit byte positions inside the clip payload
+        payload = b"".join(bytes(f) for f in frames)
+        off = 0
+        for f in frames:
+            offsets.append(off)
+            off += len(f)
+        out += _ELEM_J2K + _ber4(len(payload)) + payload
+    else:
+        for f in frames:
+            offsets.append(len(out) - body_start)
+            out += _ELEM_J2K + _ber4(len(f)) + bytes(f)
     footer_off = len(out)
     index = _index_table(edit_rate, nframes, offsets)
     out += _partition_pack(_FOOTER_PARTITION, footer_off, 0, footer_off,

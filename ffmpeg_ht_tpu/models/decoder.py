@@ -683,14 +683,24 @@ class Decoder:
         for fin in inflight:
             yield fin()
 
-    def decode_batch(self, streams) -> List[DecodedFrame]:
+    def decode_batch(self, streams, mesh=None) -> List[DecodedFrame]:
         """Decode many same-geometry frames in one device launch.
 
         The frame axis concatenates into the entropy kernel's lane axis
         (SURVEY.md §2.2 'frame batching'): F frames of N codeblocks run as
         one (F*N)-lane launch, saturating the VPU where a single frame's
         lane count cannot.
+
+        `mesh`: a 1-axis jax.sharding.Mesh — the frame axis shards over
+        its devices via shard_map (each device decodes len(streams)/D
+        frames; embarrassingly parallel, no collectives — SURVEY §2.2
+        multi-device row). Falls back to single-device decode when the
+        streams leave the sharded profile.
         """
+        if mesh is not None:
+            out = self._decode_batch_sharded(streams, mesh)
+            if out is not None:
+                return out
         import jax.numpy as jnp
 
         hdrs = [parse_codestream(data, bitexact=self.bitexact,
@@ -754,6 +764,127 @@ class Decoder:
             frames.append(self._assemble_frame(hdr, tiles, outs))
         return frames
 
+    def _decode_batch_sharded(self, streams, mesh) -> \
+            "List[DecodedFrame] | None":
+        """Shard the frame axis of a same-geometry batch over a 1-axis
+        device mesh: every device runs the fused v3 program on its own
+        F/D frames (shard_map, no collectives). Returns None when the
+        batch leaves the v3 profile (caller decodes single-device)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ffmpeg_ht_tpu.models import assembly as ASM
+        from ffmpeg_ht_tpu.models import fastpath as FP
+
+        hdrs = [parse_codestream(data, bitexact=self.bitexact,
+                                 reduction_factor=self.reduction_factor)
+                for data in streams]
+        if self.max_layers or not hdrs \
+                or not all(FP.fast_profile(h) for h in hdrs):
+            return None
+        if len({FP.geometry_fingerprint(h) for h in hdrs}) != 1:
+            return None
+        fg = self._fast_geom(hdrs[0])
+        if fg.v3_plan is None:
+            fg.v3_plan = ASM.build_plan(fg) or False
+        if fg.v3_plan is False or fg.ncblks == 0:
+            return None
+        D = int(np.prod(mesh.devices.shape))
+        F = len(hdrs)
+        if F % D != 0:
+            return None
+        Fl = F // D
+        axis = mesh.axis_names[0]
+        total = fg.geom.total
+
+        frames = []
+        for hdr in hdrs:
+            cols = FP.parse_frame_flat(hdr, fg)
+            if cols is None:
+                return None
+            fc = FP.build_v3_frame(fg, cols)
+            if fc is None:
+                return None
+            frames.append(fc)
+        args, _F = FP.finish_v3(fg, frames, total)
+
+        # per-shard host-fallback prefill with SHARD-local flat indices
+        pdt = np.float32 if fg.geom.transform == mk.DWT97 else np.int32
+        shard_pf = []
+        cap = 16
+        for d in range(D):
+            pi, pv = [], []
+            for lf, fc in enumerate(frames[d * Fl:(d + 1) * Fl]):
+                for (ridx, rval) in fc["host_pf"]:
+                    pi.append(ridx + lf * total)
+                    pv.append(rval)
+            pi = np.concatenate(pi).astype(np.int32) if pi \
+                else np.zeros(0, np.int32)
+            pv = np.concatenate(pv).astype(pdt) if pv \
+                else np.zeros(0, pdt)
+            shard_pf.append((pi, pv))
+            while cap < len(pi):
+                cap *= 2
+        pf_idx = np.concatenate(
+            [FP._pad(pi, cap, Fl * total) for pi, _ in shard_pf]) \
+            .astype(np.int32)
+        pf_val = np.concatenate(
+            [FP._pad(pv, cap, 0) for _, pv in shard_pf]).astype(pdt)
+
+        mb = 1
+        for fc in frames:
+            devl = fc["qws"] > 0
+            if devl.any():
+                mb = max(mb, int(fc["maxbp"][devl].max()))
+        if mb > 25:
+            return None
+        ms_class = next(c for c in (8, 12, 16, 20, 25) if mb <= c)
+
+        body = ASM.make_v3_program(
+            fg.v3_plan, fg.geom.key(), qw=fg.v3_plan.bw // 2,
+            qh=fg.v3_plan.bh // 2, ms_class=ms_class, n_pad=fg.ncblks,
+            frames=Fl, as_jit=False)
+
+        names = ("msw", "melw", "vlcw", "pLSB", "maxbp", "ms_lim",
+                 "mel_lim", "qws", "qhs", "magb", "istep", "scale97",
+                 "fscale", "pf_idx", "pf_val")
+        args["pf_idx"] = jnp.asarray(pf_idx)
+        args["pf_val"] = jnp.asarray(pf_val)
+
+        fn = lambda *a: body(**dict(zip(names, a)))
+        specs = dict(mesh=mesh, in_specs=tuple(P(axis) for _ in names),
+                     out_specs=P(axis))
+        try:
+            # the scan carries start replicated and become device-varying
+            # on the first iteration; the decode is per-device-local, so
+            # the varying-manual-axes check is disabled
+            sm = jax.shard_map(fn, check_vma=False, **specs)
+        except TypeError:
+            sm = jax.shard_map(fn, check_rep=False, **specs)
+        sharded = jax.jit(sm)
+        sh = NamedSharding(mesh, P(axis))
+        vals = [jax.device_put(args[k], sh) for k in names]
+        buf = np.asarray(sharded(*vals))
+
+        out_frames = []
+        span = Fl * total + 1
+        for d in range(D):
+            piece = buf[d * span:(d + 1) * span]
+            if piece[-1] == 0:
+                raise InvalidData(
+                    "invalid HT codestream (U bound violated)")
+            off = 0
+            for lf in range(Fl):
+                outs = []
+                for (o, ph, pw) in fg.geom.planes:
+                    outs.append(piece[off:off + ph * pw].reshape(ph, pw))
+                    off += ph * pw
+                hdr = hdrs[d * Fl + lf]
+                out_frames.append(
+                    self._assemble_frame(hdr, fg.tiles, outs))
+        return out_frames
+
     def _dispatch(self, geom: _Geometry, buckets, prefill):
         """Pack buckets, upload, and run entropy + assembly (no host sync).
 
@@ -810,12 +941,52 @@ class Decoder:
         cols = FP.parse_frame_flat(hdr, fg)
         if cols is None:
             return None
+        packed = self._v3_launch(fg, [cols])
+        if packed is not None:
+            return fg, packed
         accum = FP.build_bucket_args(fg, cols)
         shapes, bucket_args, pf_idx, pf_val = FP.finish_buckets(
             accum, fg.geom.total)
         packed = self._dispatch_args(fg.geom, shapes, bucket_args,
                                      pf_idx, pf_val)
         return fg, packed
+
+    def _v3_launch(self, fg, cols_list):
+        """v3 merged-bucket fused program (models/assembly.py); None when
+        the geometry/frames need the v2 bucketed path."""
+        import os
+        if os.environ.get("FFMPEG_HT_TPU_V3", "1") == "0":
+            return None
+        from ffmpeg_ht_tpu.models import assembly as ASM
+        from ffmpeg_ht_tpu.models import fastpath as FP
+        if fg.v3_plan is None:
+            fg.v3_plan = ASM.build_plan(fg) or False
+        if fg.v3_plan is False or fg.ncblks == 0:
+            return None
+        frames = []
+        for cols in cols_list:
+            fc = FP.build_v3_frame(fg, cols)
+            if fc is None:
+                return None
+            frames.append(fc)
+        args, F = FP.finish_v3(fg, frames, fg.geom.total)
+        mb = 1
+        for fc in frames:
+            devl = fc["qws"] > 0
+            if devl.any():
+                mb = max(mb, int(fc["maxbp"][devl].max()))
+        if mb > 25:
+            return None
+        ms_class = next(c for c in (8, 12, 16, 20, 25) if mb <= c)
+        key = (F, ms_class)
+        prog = fg.v3_progs.get(key)
+        if prog is None:
+            prog = ASM.make_v3_program(
+                fg.v3_plan, fg.geom.key(), qw=fg.v3_plan.bw // 2,
+                qh=fg.v3_plan.bh // 2, ms_class=ms_class,
+                n_pad=fg.ncblks, frames=F)
+            fg.v3_progs[key] = prog
+        return prog(**args)
 
     @staticmethod
     def _fast_geom(hdr):
@@ -843,18 +1014,26 @@ class Decoder:
         fg = self._fast_geom(hdrs[0])
         F = len(hdrs)
         total = fg.geom.total
-        accum = None
-        for f, h in enumerate(hdrs):
+        cols_list = []
+        for h in hdrs:
             cols = FP.parse_frame_flat(h, fg)
             if cols is None:
                 return None
-            accum = FP.build_bucket_args(fg, cols, dest_shift=f * total,
-                                         prev=accum)
-        shapes, bucket_args, pf_idx, pf_val = FP.finish_buckets(
-            accum, F * total)
-        gm = _replicate_geometry(fg.geom, F)
-        buf = np.asarray(self._dispatch_args(gm, shapes, bucket_args,
-                                             pf_idx, pf_val))
+            cols_list.append(cols)
+        packed = self._v3_launch(fg, cols_list)
+        if packed is not None:
+            buf = np.asarray(packed)
+        else:
+            accum = None
+            for f, cols in enumerate(cols_list):
+                accum = FP.build_bucket_args(fg, cols,
+                                             dest_shift=f * total,
+                                             prev=accum)
+            shapes, bucket_args, pf_idx, pf_val = FP.finish_buckets(
+                accum, F * total)
+            gm = _replicate_geometry(fg.geom, F)
+            buf = np.asarray(self._dispatch_args(gm, shapes, bucket_args,
+                                                 pf_idx, pf_val))
         if buf[-1] == 0:
             raise InvalidData("invalid HT codestream (U bound violated)")
         frames = []

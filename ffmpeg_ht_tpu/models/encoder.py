@@ -69,6 +69,14 @@ class EncoderConfig:
     ppt: bool = False      # packed packet headers in tile header (PPT,
                            # T.800 A.7.5; beyond j2kenc — decode-path
                            # test-vector source for t2.py select_stream)
+    tlm: bool = False      # tile-part length table in the main header
+                           # (TLM, T.800 A.7.1; ST=2/SP=1 records) —
+                           # enables TLM random access (decode_tile)
+    ppm: bool = False      # packed packet headers in MAIN header (PPM,
+                           # T.800 A.7.4; one Nppm record per tile-part,
+                           # requires tp_interval == 0) — decode-path
+                           # test-vector source for the hdr.packed_headers
+                           # distribution in t2.py:440-448
     log2_prec_width: int = 0    # user precincts (0 = maximal 2^15); HT
     log2_prec_height: int = 0   # encoder only
     ht_layers: int = 1     # HT quality layers: 2 splits Cleanup (layer 0)
@@ -535,6 +543,12 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
     _put_cod_ht(out, cfg, codsty, nlayers_ht)
     _put_qcd(out, codsty, qntsty)
 
+    if cfg.ppm and (cfg.ppt or cfg.tp_interval):
+        raise ValueError("ppm needs ppt=False and tp_interval=0")
+    tp_dst = bytearray() if (cfg.ppm or cfg.tlm) else out
+    ppm_records: list = []
+    tlm_parts: list = []
+
     for tileno in range(ntiles):
         tile = tiles[tileno]
         for compno, comp in enumerate(tile.comp):
@@ -672,13 +686,23 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
 
         body = bytearray()
         bnds = [] if cfg.tp_interval else None
-        hdrs = bytearray() if cfg.ppt else None
+        hdrs = bytearray() if (cfg.ppt or cfg.ppm) else None
         encode_packets(body, tile, nlayers_ht, _PROG[cfg.prog],
                        cfg.sop, cfg.eph, chroma_shift, boundaries=bnds,
                        header_out=hdrs)
-        _emit_tile_parts(out, tileno, bytes(body), bnds, cfg.tp_interval,
-                         _ppt_segments(bytes(hdrs)) if cfg.ppt else b"")
+        if cfg.ppm:
+            ppm_records.append(bytes(hdrs))
+        _emit_tile_parts(tp_dst, tileno, bytes(body), bnds,
+                         cfg.tp_interval,
+                         _ppt_segments(bytes(hdrs)) if cfg.ppt else b"",
+                         part_lengths=tlm_parts if cfg.tlm else None)
 
+    if cfg.tlm:
+        out.extend(_tlm_segment(tlm_parts))
+    if cfg.ppm:
+        out.extend(_ppm_segments(ppm_records))
+    if cfg.ppm or cfg.tlm:
+        out.extend(tp_dst)
     out.extend(_be16(mk.EOC))
     if cfg.jp2:
         # JPH file format (Rec. ITU-T T.815): JP2 boxes, 'jph ' brand
@@ -705,13 +729,14 @@ def _jph_wrap(codestream: bytes, siz: SIZ, cbps: int) -> bytes:
 
 def _emit_tile_parts(out: bytearray, tileno: int, body: bytes,
                      boundaries, tp_interval: int,
-                     tile_markers: bytes = b"") -> None:
+                     tile_markers: bytes = b"", part_lengths=None) -> None:
     """Emit one tile's body as one or more tile-parts.
 
     Splits at packet boundaries only (a packet may not straddle
     tile-parts, T.800 A.4.2); TPsot/TNsot per SOT (A.4.2).
     `tile_markers` (e.g. PPT segments) go in the first tile-part header
-    only (jpeg2000dec.c:995-998)."""
+    only (jpeg2000dec.c:995-998). `part_lengths` collects
+    (tileno, total_part_bytes) per emitted part (TLM emission)."""
     cuts = [0]
     if tp_interval and boundaries:
         for i in range(tp_interval, len(boundaries), tp_interval):
@@ -731,6 +756,8 @@ def _emit_tile_parts(out: bytearray, tileno: int, body: bytes,
         out.extend(markers)
         out.extend(_be16(mk.SOD))
         out.extend(seg)
+        if part_lengths is not None:
+            part_lengths.append((tileno, psot))
 
 
 def _ppt_segments(headers: bytes) -> bytes:
@@ -741,6 +768,41 @@ def _ppt_segments(headers: bytes) -> bytes:
     for off in range(0, max(len(headers), 1), 65532):
         chunk = headers[off:off + 65532]
         out.extend(_be16(mk.PPT) + _be16(3 + len(chunk)))
+        out.append(z)
+        out.extend(chunk)
+        z += 1
+    return bytes(out)
+
+
+def _tlm_segment(parts) -> bytes:
+    """TLM marker (T.800 A.7.1): Ztlm=0, Stlm ST=2/SP=1, then
+    (Ttlm u16, Ptlm u32) per tile-part; chunked under the u16 Ltlm."""
+    out = bytearray()
+    z = 0
+    per = (65535 - 4) // 6
+    for off in range(0, len(parts), per):
+        chunk = parts[off:off + per]
+        out.extend(_be16(mk.TLM) + _be16(4 + 6 * len(chunk)))
+        out.append(z)
+        out.append(0x60)            # SP=1 (u32 Ptlm), ST=2 (u16 Ttlm)
+        for (tno, plen) in chunk:
+            out.extend(_be16(tno) + _be32(plen))
+        z += 1
+    return bytes(out)
+
+
+def _ppm_segments(records) -> bytes:
+    """Wrap per-tile-part packed headers into PPM marker segments
+    (T.800 A.7.4): FF60 Lppm Zppm (Nppm u32 + headers)*, chunked at
+    65532 payload bytes, Zppm ascending. The decoder re-slices the
+    concatenated payload by the Nppm prefixes in SOD order
+    (t2.py:440-448, jpeg2000dec.c PPM handling)."""
+    payload = b"".join(_be32(len(h)) + h for h in records)
+    out = bytearray()
+    z = 0
+    for off in range(0, max(len(payload), 1), 65532):
+        chunk = payload[off:off + 65532]
+        out.extend(_be16(mk.PPM) + _be16(3 + len(chunk)))
         out.append(z)
         out.extend(chunk)
         z += 1
@@ -843,6 +905,12 @@ def encode_frame_t800(img: Union[np.ndarray, Sequence[np.ndarray]],
     _put_cod(out, cfg, codsty, nlayers)
     _put_qcd(out, codsty, qntsty)
 
+    if cfg.ppm and (cfg.ppt or cfg.tp_interval):
+        raise ValueError("ppm needs ppt=False and tp_interval=0")
+    tp_dst = bytearray() if (cfg.ppm or cfg.tlm) else out
+    ppm_records = []
+    tlm_parts = []
+
     for tileno in range(ntiles):
         tile = init_tile(hdr, tileno)
         # DC level shift + tile crop (copy_frame_8/16, j2kenc.c:508-551)
@@ -872,13 +940,23 @@ def encode_frame_t800(img: Union[np.ndarray, Sequence[np.ndarray]],
 
         body = bytearray()
         bnds = [] if cfg.tp_interval else None
-        hdrs = bytearray() if cfg.ppt else None
+        hdrs = bytearray() if (cfg.ppt or cfg.ppm) else None
         encode_packets(body, tile, nlayers, _PROG[cfg.prog],
                        cfg.sop, cfg.eph, chroma_shift, boundaries=bnds,
                        header_out=hdrs)
-        _emit_tile_parts(out, tileno, bytes(body), bnds, cfg.tp_interval,
-                         _ppt_segments(bytes(hdrs)) if cfg.ppt else b"")
+        if cfg.ppm:
+            ppm_records.append(bytes(hdrs))
+        _emit_tile_parts(tp_dst, tileno, bytes(body), bnds,
+                         cfg.tp_interval,
+                         _ppt_segments(bytes(hdrs)) if cfg.ppt else b"",
+                         part_lengths=tlm_parts if cfg.tlm else None)
 
+    if cfg.tlm:
+        out.extend(_tlm_segment(tlm_parts))
+    if cfg.ppm:
+        out.extend(_ppm_segments(ppm_records))
+    if cfg.ppm or cfg.tlm:
+        out.extend(tp_dst)
     out.extend(_be16(mk.EOC))
 
     if cfg.jp2:

@@ -49,7 +49,8 @@ def fast_profile(hdr) -> bool:
         for codsty, qntsty in zip(th.codsty, th.qntsty):
             if codsty.cblk_style != mk.CTSY_HTJ2K_F:
                 return False
-            if codsty.nlayers != 1:
+            if codsty.nlayers > 8 \
+                    or codsty.nlayers != th.codsty[0].nlayers:
                 return False
             if codsty.log2_cblk_width > 6 or codsty.log2_cblk_height > 6:
                 return False
@@ -70,7 +71,8 @@ class FlatGeometry:
 
     __slots__ = ("tiles", "geom", "w", "h", "dest", "stride",
                  "magb", "istep", "scale97", "fscale", "fstep", "ncblks",
-                 "tile_pkts", "tile_range", "area_small")
+                 "tile_pkts", "tile_range", "area_small", "prec_list",
+                 "v3_plan", "v3_progs")
 
     def __init__(self, hdr):
         from ffmpeg_ht_tpu.models import decoder as D
@@ -112,6 +114,11 @@ class FlatGeometry:
         cols: Dict[str, List] = {k: [] for k in (
             "w", "h", "dest", "stride", "magb", "istep", "scale97",
             "fscale", "fstep")}
+        # v3 assembly-plan raw material: one entry per precinct instance,
+        # (abs_lane_start, ch, cw, plane_idx, tileno, compno, rlno, bandno)
+        self.prec_list = []
+        self.v3_plan = None        # built lazily by models.assembly
+        self.v3_progs = {}         # (F, ms_class) -> fused program
         # per-tile: packet metadata for the native parser
         self.tile_pkts = []
         self.tile_range = []
@@ -119,6 +126,7 @@ class FlatGeometry:
         for tileno, tile in enumerate(tiles):
             cblk_base = len(cols["w"])
             prec_map = {}
+            tree_count = 0
             for compno, comp in enumerate(tile.comp):
                 qntsty = tile.qntsty[compno]
                 poff = planes[tci[tileno][compno]][0]
@@ -145,7 +153,12 @@ class FlatGeometry:
                             ch = prec.nb_codeblocks_height
                             prec_map.setdefault(
                                 (compno, rlno, precno), []).append(
-                                (base, cw, ch, magb))
+                                (base, cw, ch, magb, tree_count))
+                            tree_count += 1
+                            self.prec_list.append(
+                                (len(cols["w"]), ch, cw,
+                                 tci[tileno][compno], tileno, compno,
+                                 rlno, bandno))
                             for cblk in prec.cblk:
                                 x = cblk.coord[0][0] - band.coord[0][0]
                                 y = cblk.coord[1][0] - band.coord[1][0]
@@ -160,29 +173,35 @@ class FlatGeometry:
                                 cols["fscale"].append(fsc)
                                 cols["fstep"].append(
                                     float(band.f_stepsize))
-            # packets in stream order
+            # packets in stream order (all quality layers)
             th = hdr.tiles[tileno]
-            order = packet_order(hdr, th, tile)
-            pkt_nband, pkt_csty, pkt_style = [], [], []
-            bi_base, bi_cw, bi_ch, bi_magb = [], [], [], []
-            for (compno, rlno, precno) in order:
+            nlayers = th.codsty[0].nlayers
+            order = packet_order(hdr, th, tile, nlayers)
+            pkt_nband, pkt_csty, pkt_style, pkt_layno = [], [], [], []
+            bi_base, bi_cw, bi_ch, bi_magb, bi_tree = [], [], [], [], []
+            for (compno, rlno, precno, layno) in order:
                 bis = prec_map.get((compno, rlno, precno), [])
                 pkt_nband.append(len(bis))
                 pkt_csty.append(th.codsty[compno].csty)
                 pkt_style.append(th.codsty[compno].cblk_style)
-                for (base, cw, ch, magb) in bis:
+                pkt_layno.append(layno)
+                for (base, cw, ch, magb, tid) in bis:
                     bi_base.append(base)
                     bi_cw.append(cw)
                     bi_ch.append(ch)
                     bi_magb.append(magb)
+                    bi_tree.append(tid)
             self.tile_pkts.append((
                 np.asarray(pkt_nband, np.int32),
                 np.asarray(pkt_csty, np.int32),
                 np.asarray(pkt_style, np.int32),
+                np.asarray(pkt_layno, np.int32),
                 np.asarray(bi_base, np.int32),
                 np.asarray(bi_cw, np.int32),
                 np.asarray(bi_ch, np.int32),
-                np.asarray(bi_magb, np.int32)))
+                np.asarray(bi_magb, np.int32),
+                np.asarray(bi_tree, np.int32),
+                tree_count, nlayers))
             self.tile_range.append((cblk_base, len(cols["w"])))
 
         for k in ("w", "h", "dest", "stride", "magb", "istep", "scale97"):
@@ -217,25 +236,30 @@ def parse_frame_flat(hdr, fg: FlatGeometry) -> Optional[dict]:
     """Native T2 parse of every tile into flat per-cblk columns.
 
     Returns dict(body, off, len, lcup, lref, zbp, npasses, incl) with
-    body a single concatenated bytes object, or None if the native tier
-    is unavailable or a packet leaves the supported profile."""
+    body a single contiguous bytes-like buffer (each codeblock's segments
+    gathered across quality layers), or None if the native tier is
+    unavailable or a packet leaves the supported profile."""
     from ffmpeg_ht_tpu.utils import native
 
     bodies = []
     outs = []
     base_off = 0
+    multilayer = False
     for tileno, th in enumerate(hdr.tiles):
         parts = sorted(th.tile_parts, key=lambda tp: tp.tp_index)
         body = b"".join(bytes(tp.data) for tp in parts)
-        (pkt_nband, pkt_csty, pkt_style,
-         bi_base, bi_cw, bi_ch, bi_magb) = fg.tile_pkts[tileno]
+        (pkt_nband, pkt_csty, pkt_style, pkt_layno,
+         bi_base, bi_cw, bi_ch, bi_magb, bi_tree,
+         n_trees, nlayers) = fg.tile_pkts[tileno]
         lo, hi = fg.tile_range[tileno]
         o = native.t2_parse_packets(body, pkt_nband, pkt_csty, pkt_style,
-                                    bi_base, bi_cw, bi_ch, bi_magb, 0,
-                                    hi - lo)
+                                    pkt_layno, bi_base, bi_cw, bi_ch,
+                                    bi_magb, bi_tree, n_trees, 0,
+                                    hi - lo, max(nlayers, 1))
         if o is None:
             return None
-        o["off"] = o["off"] + base_off
+        o["seg_off"] = o["seg_off"] + base_off
+        multilayer = multilayer or nlayers > 1
         bodies.append(body)
         outs.append(o)
         base_off += len(body)
@@ -243,8 +267,49 @@ def parse_frame_flat(hdr, fg: FlatGeometry) -> Optional[dict]:
     cols = {k: np.concatenate([o[k] for o in outs]) if len(outs) > 1
             else outs[0][k]
             for k in ("incl", "zbp", "nzb", "npasses", "lcup", "lref",
-                      "off", "len")}
-    cols["body"] = bodies[0] if len(bodies) == 1 else b"".join(bodies)
+                      "len", "nseg")}
+    full = bodies[0] if len(bodies) == 1 else b"".join(bodies)
+    seg_off = np.concatenate([o["seg_off"] for o in outs]) \
+        if len(outs) > 1 else outs[0]["seg_off"]
+    seg_len = np.concatenate([o["seg_len"] for o in outs]) \
+        if len(outs) > 1 else outs[0]["seg_len"]
+
+    if not multilayer or int(cols["nseg"].max(initial=0)) <= 1:
+        cols["off"] = seg_off[:, 0].copy()
+        cols["body"] = full
+    else:
+        # gather each codeblock's per-layer segments into one contiguous
+        # run (vectorized per lane-chunk: per-position segment id via
+        # <= nlayers comparisons; chunked to bound the (chunk, L) temps)
+        tot = cols["len"]
+        N = len(tot)
+        new_off = np.zeros(N, np.int64)
+        np.cumsum(tot[:-1], out=new_off[1:])
+        buf = np.frombuffer(full, np.uint8)
+        out_body = np.zeros(int(tot.sum()), np.uint8)
+        cum = np.cumsum(seg_len, axis=1)               # (N, S)
+        prev = np.concatenate(
+            [np.zeros((N, 1), np.int64), cum[:, :-1]], axis=1)
+        step = max(1, (1 << 24) // max(int(tot.max(initial=1)), 1))
+        for c0 in range(0, N, step):
+            c1 = min(c0 + step, N)
+            t = tot[c0:c1]
+            lmax = int(t.max(initial=1))
+            pos = np.arange(lmax)[None, :]
+            seg_id = np.zeros((c1 - c0, lmax), np.int64)
+            for s in range(seg_len.shape[1] - 1):
+                seg_id += (cum[c0:c1, s:s + 1] <= pos)
+            src = (np.take_along_axis(seg_off[c0:c1], seg_id, axis=1)
+                   + pos
+                   - np.take_along_axis(prev[c0:c1], seg_id, axis=1))
+            valid = pos < t[:, None]
+            vals = buf[np.minimum(np.where(valid, src, 0),
+                                  len(buf) - 1)]
+            dst = new_off[c0:c1, None] + pos
+            out_body[dst[valid]] = vals[valid]
+        cols["off"] = new_off
+        cols["body"] = out_body.tobytes()
+
     # error parity with the object path (_build_batch raises on lcup < 2
     # for any included codeblock; ht_dec.py:618-619)
     inc = cols["incl"].astype(bool) & (cols["npasses"] > 0)
@@ -475,3 +540,164 @@ def _pad(a, npad, fill):
                   if np.asarray(a).dtype != np.float64 else np.float64)
     out[:len(a)] = a
     return out
+
+
+# ---------------------------------------------------------------------------
+# v3 merged-bucket lane (round 3): every codeblock of the frame decodes in
+# ONE dims-masked entropy launch, lanes in geometry order, so the fused
+# program (models/assembly.py) can assemble planes without scatter.
+# ---------------------------------------------------------------------------
+
+
+def build_v3_frame(fg, cols):
+    """Per-frame v3 lane columns, or None if the frame needs v2.
+
+    Returns dict(data, lcups, pcups, qws, qhs, pLSB, maxbp, host_pf)
+    with data an (N, Lmax) modDcup'ed byte matrix (device lanes only;
+    host/inert lanes zero) and host_pf a list of (flat_idx, values)
+    numpy pairs from the scalar-oracle fallback lanes."""
+    N = fg.ncblks
+    body = np.frombuffer(cols["body"], np.uint8)
+    act = cols["active"]
+    npasses = np.where(act, cols["npasses"], 0)
+    rem = npasses % 3
+    plhd = np.where(rem, npasses - rem,
+                    np.maximum(npasses - 3, 0))
+    zblk = npasses - plhd
+    zbp_eff = cols["zbp"] + plhd // 3
+    if np.any(act & (zblk > 1)):
+        return None                     # refinement lanes: v2 path
+
+    lcup = np.where(act, cols["lcup"], 2)
+    need = (8 * lcup + 96) // 32
+    host = act & (zbp_eff + 1 > 25)
+    dev = act & ~host
+    if np.any(dev):
+        # long-tail policy: keep the stream matrix narrow by sending the
+        # rare outlier-length codeblocks to the scalar oracle
+        w98 = int(np.percentile(need[dev], 98))
+        wcap = 16
+        while wcap < w98:
+            wcap *= 2
+        wmax = int(need[dev].max())
+        if wmax > 2 * wcap:
+            host = host | (act & (need > wcap))
+            dev = act & ~host
+
+    lmax = int(lcup[dev].max()) if np.any(dev) else 4
+    lmax = max(lmax, 4)
+    idx = cols["off"][:, None] + np.arange(lmax)[None, :]
+    take = np.minimum(idx, len(body) - 1)
+    mask = (np.arange(lmax)[None, :] < lcup[:, None]) & dev[:, None]
+    data = np.where(mask, body[take], 0).astype(np.uint8)
+
+    lcups = np.where(dev, lcup, 2).astype(np.int64)
+    # Scup + modDcup (vectorized; parity jpeg2000htdec.c:1265-1278)
+    ar = np.arange(N)
+    b_last = data[ar, lcups - 1].astype(np.int64)
+    b_prev = data[ar, lcups - 2].astype(np.int64)
+    scup = (b_last << 4) + (b_prev & 0x0F)
+    if np.any(dev & ((scup < 2) | (scup > lcups) | (scup > 4079))):
+        raise InvalidData("invalid Scup")
+    data[ar, lcups - 1] = np.where(dev, 0xFF, data[ar, lcups - 1])
+    data[ar, lcups - 2] = np.where(dev, data[ar, lcups - 2] | 0x0F,
+                                   data[ar, lcups - 2])
+    pcups = np.where(dev, lcups - scup, 0).astype(np.int64)
+
+    qws = np.where(dev, -(-fg.w // 2), 0).astype(np.int32)
+    qhs = np.where(dev, -(-fg.h // 2), 0).astype(np.int32)
+    pLSB = np.where(dev, 30 - zbp_eff, 2).astype(np.int32)
+    maxbp = np.where(dev, zbp_eff + 1, 32).astype(np.int32)
+
+    host_pf = []
+    if np.any(host):
+        from ffmpeg_ht_tpu.ops import dequant as dq
+        from ffmpeg_ht_tpu.ops import ht_dec
+        tf = fg.geom.transform
+        for gi in np.nonzero(host)[0]:
+            dat = cols["body"][cols["off"][gi]:
+                               cols["off"][gi] + cols["len"][gi]]
+            t1 = ht_dec.decode_htj2k(
+                bytes(dat), int(cols["npasses"][gi]),
+                int(cols["zbp"][gi]),
+                [int(cols["lcup"][gi]), int(cols["lref"][gi])],
+                int(fg.w[gi]), int(fg.h[gi]), int(fg.magb[gi]), 0, 0)
+            if tf == mk.DWT97:
+                blk = dq.dequant_float(t1, float(fg.fstep[gi]),
+                                       int(fg.magb[gi]))
+            elif tf == mk.DWT97_INT:
+                blk = dq.dequant_int_97(t1, float(fg.fstep[gi]),
+                                        int(fg.magb[gi]))
+            else:
+                blk = dq.dequant_int(t1, int(fg.istep[gi]),
+                                     int(fg.magb[gi]))
+            rows = (int(fg.dest[gi])
+                    + np.arange(int(fg.h[gi]))[:, None]
+                    * int(fg.stride[gi])
+                    + np.arange(int(fg.w[gi]))[None, :])
+            host_pf.append((rows.ravel(), np.asarray(blk).ravel()))
+    return dict(data=data, lcups=lcups, pcups=pcups, qws=qws, qhs=qhs,
+                pLSB=pLSB, maxbp=maxbp, host_pf=host_pf)
+
+
+def finish_v3(fg, frames_cols, total):
+    """Stack per-frame v3 columns into the fused-program arguments.
+
+    frames_cols: list of build_v3_frame dicts (same geometry). Returns
+    (args dict of jnp arrays, F) for models.assembly.make_v3_program."""
+    import jax.numpy as jnp
+
+    from ffmpeg_ht_tpu.ops.ht_batch import prepare_streams_with_limits
+
+    F = len(frames_cols)
+    N = fg.ncblks
+    lmax = max(f["data"].shape[1] for f in frames_cols)
+    data = np.zeros((F * N, lmax), np.uint8)
+    lcups = np.empty(F * N, np.int64)
+    pcups = np.empty(F * N, np.int64)
+    for f, fc in enumerate(frames_cols):
+        data[f * N:(f + 1) * N, :fc["data"].shape[1]] = fc["data"]
+        lcups[f * N:(f + 1) * N] = fc["lcups"]
+        pcups[f * N:(f + 1) * N] = fc["pcups"]
+    msw, melw, vlcw, ms_lim, mel_lim = prepare_streams_with_limits(
+        data, lcups, pcups)
+
+    def stack(key, dtype):
+        return np.concatenate([fc[key] for fc in frames_cols]) \
+            .astype(dtype)
+
+    pf_i, pf_v = [], []
+    for f, fc in enumerate(frames_cols):
+        for (ridx, rval) in fc["host_pf"]:
+            pf_i.append(ridx + f * total)
+            pf_v.append(rval)
+    pdt = np.float32 if fg.geom.transform == mk.DWT97 else np.int32
+    if pf_i:
+        pf_idx = np.concatenate(pf_i).astype(np.int32)
+        pf_val = np.concatenate(pf_v).astype(pdt)
+    else:
+        pf_idx = np.zeros(0, np.int32)
+        pf_val = np.zeros(0, pdt)
+    # pad to a pow2 class so the executable is reused; pads hit the
+    # trailing trash slot of the frame-flat buffer
+    cap = 16
+    while cap < len(pf_idx):
+        cap *= 2
+    pf_idx = _pad(pf_idx, cap, F * total).astype(np.int32)
+    pf_val = _pad(pf_val, cap, 0).astype(pdt)
+
+    tile = lambda a, dtype: np.tile(np.asarray(a), F).astype(dtype)
+    args = dict(
+        msw=jnp.asarray(msw), melw=jnp.asarray(melw),
+        vlcw=jnp.asarray(vlcw),
+        pLSB=jnp.asarray(stack("pLSB", np.int32)),
+        maxbp=jnp.asarray(stack("maxbp", np.int32)),
+        ms_lim=jnp.asarray(ms_lim), mel_lim=jnp.asarray(mel_lim),
+        qws=jnp.asarray(stack("qws", np.int32)),
+        qhs=jnp.asarray(stack("qhs", np.int32)),
+        magb=jnp.asarray(tile(fg.magb, np.int32)),
+        istep=jnp.asarray(tile(fg.istep, np.int32)),
+        scale97=jnp.asarray(tile(fg.scale97, np.int32)),
+        fscale=jnp.asarray(tile(fg.fscale, np.float32)),
+        pf_idx=jnp.asarray(pf_idx), pf_val=jnp.asarray(pf_val))
+    return args, F

@@ -23,7 +23,7 @@ from ffmpeg_ht_tpu.models import pixfmt as pf
 from ffmpeg_ht_tpu.ops import dequant as dq
 from ffmpeg_ht_tpu.ops import dwt as dwtmod
 from ffmpeg_ht_tpu.ops import ebcot, ht_dec, mct
-from ffmpeg_ht_tpu.utils.errors import PatchWelcome
+from ffmpeg_ht_tpu.utils.errors import InvalidData, PatchWelcome
 from ffmpeg_ht_tpu.utils.log import logger
 
 
@@ -33,6 +33,7 @@ class DecodedFrame:
     width: int
     height: int
     planes: List[np.ndarray]
+    tlm_skipped: int = 0     # bytes skipped via TLM (decode_tile)
 
     def tobytes(self) -> bytes:
         return pf.pack_rawvideo(self.fmt, self.planes)
@@ -181,6 +182,43 @@ def decode_frame(data: bytes, bitexact: bool = False,
         _write_frame(hdr, tile, comp_planes, fmt, planes, precision, cdef)
 
     return DecodedFrame(fmt=fmt, width=dimx, height=dimy, planes=planes)
+
+
+def decode_tile(data: bytes, tileno: int, bitexact: bool = False,
+                max_layers: int = 0) -> DecodedFrame:
+    """Random-access decode of ONE tile (TLM-indexed, VERDICT r2 item 7).
+
+    When the stream carries a TLM table (jpeg2000dec.c:901-930), the
+    parser seeks over every other tile's tile-parts without reading a
+    byte of them; without TLM the other parts are still walked (headers
+    only) but never entropy-decoded. Returns a DecodedFrame covering the
+    full canvas with only `tileno` decoded (other regions zero) —
+    matching decode_frame's geometry so callers can crop the tile
+    rectangle (hdr-independent composition)."""
+    hdr = parse_codestream(data, bitexact=bitexact, only_tile=tileno)
+    if tileno < 0 or tileno >= len(hdr.tiles):
+        raise InvalidData(f"tile {tileno} out of range")
+    if not hdr.tiles[tileno].tile_parts:
+        raise InvalidData(f"tile {tileno} has no tile-part data")
+    siz = hdr.siz
+    fmt = pf.negotiate(siz, hdr.colour_space, siz.rsiz)
+    precision = pf.output_precision(fmt, siz.precision)
+    dimx, dimy = _frame_dims(hdr)
+    planes = pf.alloc_frame(fmt, dimx, dimy)
+    cdef = hdr.cdef if hdr.cdef else [-1] * 4
+    if any(c < 0 for c in cdef[:siz.ncomponents]):
+        cdef = [i + 1 for i in range(4)]
+        if siz.ncomponents % 2 == 0:
+            cdef[siz.ncomponents - 1] = 0
+    tile = init_tile(hdr, tileno)
+    decode_tile_packets(hdr, tileno, tile, max_layers)
+    comp_planes = _tile_codeblocks(hdr, tile)
+    if tile.codsty[0].mct:
+        _mct(tile, comp_planes)
+    _write_frame(hdr, tile, comp_planes, fmt, planes, precision, cdef)
+    frame = DecodedFrame(fmt=fmt, width=dimx, height=dimy, planes=planes)
+    frame.tlm_skipped = hdr.tlm_skipped
+    return frame
 
 
 def _mct(tile: Tile, comp_planes) -> None:

@@ -308,8 +308,18 @@ def decode_cblk(data: bytes, npasses: int, nonzerobits: int, cblk_style: int,
     """Legacy MQ/EBCOT code-block decode (jpeg2000dec.c:1993-2089).
 
     Returns (height, width) int32 sign-magnitude samples with binary point
-    at 31 - magb (same convention as decode_htj2k).
+    at 31 - magb (same convention as decode_htj2k). The native tier
+    (native/ebcot.c) carries the per-sample serial work; this Python body
+    doubles as the behavioral oracle and the no-compiler fallback.
     """
+    from ffmpeg_ht_tpu.utils import native
+    res = native.ebcot_decode_cblk(
+        bytes(data), npasses, nonzerobits, cblk_style, width, height,
+        bandpos, magb, roi_shift, nb_terminations, data_start,
+        log2_cblk_width)
+    if res is not None:
+        return res
+
     stride = (1 << log2_cblk_width) + 2
     d = np.zeros(stride * height, dtype=np.uint32)
     out = np.zeros((height, width), dtype=np.int32)

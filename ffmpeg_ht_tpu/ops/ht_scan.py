@@ -358,12 +358,18 @@ def _recover4(msst, U, sp, ek, e1, pLSB, active, clamp: int):
 
 
 def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
-                  qw: int, qh: int, ms_class: int):
+                  qw: int, qh: int, ms_class: int, dims=None):
     """Decode N codeblocks' cleanup segments in lockstep (v2).
 
     msw/melw/vlcw: uint32 (N, W) dense bit streams (ht_batch.prepare_streams
     layout). qw/qh: static quad-grid dims (one bucket = one shape).
     ms_class: static bound on every lane's maxbp in this bucket (<= 25).
+
+    dims (v3, optional): (qws, qhs) int32 (N,) per-lane quad-grid dims
+    <= (qw, qh). Lanes then decode only their own quads — quads at
+    column >= qws or row >= qhs consume NO stream bits (exactly like the
+    static a2 edge masking), so codeblocks of different shapes share one
+    bucket. A lane with qws == 0 is inert (emits zeros, reads nothing).
 
     Returns (mu, sig, ok): mu uint32 (N, qh, 4*qw) in quad layout (quad
     (qr,qc) corner i at [:, qr, 4*qc+i], dy=i&1, dx=i>>1), sig int32
@@ -380,6 +386,9 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
     zeros = jnp.zeros((N,), I32)
     pLSB = jnp.asarray(pLSB, I32)
     maxbp = jnp.asarray(maxbp, I32)
+    if dims is not None:
+        qws = jnp.asarray(dims[0], I32)
+        qhs = jnp.asarray(dims[1], I32)
 
     vst, vlim = st_init(vlcw, _VLC_K)
     mw, mlim = st_init(melw, _MEL_K, mel_lim)
@@ -389,6 +398,20 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
     tbl0, tbl1 = _CXT0_NP, _CXT1_NP
     a2_pairs = jnp.asarray(
         np.array([2 * p + 1 < qw for p in range(P)]))
+    pair_idx = jnp.arange(P, dtype=I32)
+
+    def pair_masks(a2, p, rowact):
+        """Per-lane (quad1 active, quad2 active) for pair index p."""
+        if dims is None:
+            a1v = ones if rowact is None else rowact
+            a2v = a2 & (ones if rowact is None else rowact)
+            return a1v, a2v
+        a1v = (2 * p) < qws
+        a2v = a2 & ((2 * p + 1) < qws)
+        if rowact is not None:
+            a1v = a1v & rowact
+            a2v = a2v & rowact
+        return a1v, a2v
 
     def refill(vst, mst, msst):
         vst = refill_top(vlcw, vst, vlim, _VLC_S)
@@ -408,19 +431,23 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
         return (pc > 1).astype(I32)
 
     # ---- initial quad row: scan over pairs, context carried ----
-    def row0_body(carry, a2):
+    row0act = None if dims is None else (qhs > 0)
+
+    def row0_body(carry, xs):
+        a2, p = xs
         vst, mst, msst, ok, context = carry
-        a2v = a2 & ones
+        a1v, a2v = pair_masks(a2, p, row0act)
         r1, sp1, ek1, e11, mst, vst = _sig_emb(mst, vst, tbl0, context,
-                                               ones)
+                                               a1v)
         c2 = ctx_first(sp1)
         r2, sp2, ek2, e12, mst, vst = _sig_emb(mst, vst, tbl0, c2, a2v)
-        context = jnp.where(a2v, ctx_first(sp2), c2)
-        u1, u2, mst, vst = _u_pair_initial(mst, vst, r1, r2, ones, a2v)
+        context = jnp.where(a2v, ctx_first(sp2),
+                            jnp.where(a1v, c2, context))
+        u1, u2, mst, vst = _u_pair_initial(mst, vst, r1, r2, a1v, a2v)
         U1 = 1 + u1
         U2 = jnp.where(a2v, 1 + u2, 0)
-        ok = ok & (U1 <= maxbp) & (~a2v | (U2 <= maxbp))
-        mu1, ev1, msst = _recover4(msst, U1, sp1, ek1, e11, pLSB, ones,
+        ok = ok & (~a1v | (U1 <= maxbp)) & (~a2v | (U2 <= maxbp))
+        mu1, ev1, msst = _recover4(msst, U1, sp1, ek1, e11, pLSB, a1v,
                                    clamp)
         mu2, ev2, msst = _recover4(msst, U2, sp2, ek2, e12, pLSB, a2v,
                                    clamp)
@@ -431,7 +458,8 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
         return (vst, mst, msst, ok, context), ys
 
     carry0 = (vst, mst, msst, ones, zeros)
-    carry0, (mu0, e0, sp0) = jax.lax.scan(row0_body, carry0, a2_pairs)
+    carry0, (mu0, e0, sp0) = jax.lax.scan(row0_body, carry0,
+                                          (a2_pairs, pair_idx))
     vst, mst, msst, ok, _ = carry0
     mu_row0 = jnp.transpose(mu0, (1, 0, 2)).reshape(N, 8 * P)[:, :4 * qw]
     e_prev = jnp.transpose(e0, (1, 0, 2)).reshape(N, 8 * P)[:, :4 * qw]
@@ -469,46 +497,48 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
         return jnp.transpose(a.reshape(N, P, 2), (1, 0, 2))
 
     def rowk_pair(carry, xs):
-        vst, mst, msst, ok, wprev = carry
-        cA, kmax, a2 = xs
-        a2v = a2 & ones
+        vst, mst, msst, ok, wprev, rowact = carry
+        cA, kmax, a2, p = xs
+        a1v, a2v = pair_masks(a2, p, rowact)
         c1 = cA[:, 0] | (wprev << 1)
-        r1, sp1, ek1, e11, mst, vst = _sig_emb(mst, vst, tbl1, c1, ones)
+        r1, sp1, ek1, e11, mst, vst = _sig_emb(mst, vst, tbl1, c1, a1v)
         w1 = ((sp1 >> 2) | (sp1 >> 3)) & 1
         c2 = cA[:, 1] | (w1 << 1)
         r2, sp2, ek2, e12, mst, vst = _sig_emb(mst, vst, tbl1, c2, a2v)
-        u1, u2, vst = _u_pair_noninit(vst, r1, r2, ones, a2v)
+        u1, u2, vst = _u_pair_noninit(vst, r1, r2, a1v, a2v)
         U1 = jnp.maximum(1, gamma_of(sp1) * (kmax[:, 0] - 1)) + u1
         U2 = jnp.where(
             a2v, jnp.maximum(1, gamma_of(sp2) * (kmax[:, 1] - 1)) + u2, 0)
-        ok = ok & (U1 <= maxbp) & (~a2v | (U2 <= maxbp))
-        mu1, ev1, msst = _recover4(msst, U1, sp1, ek1, e11, pLSB, ones,
+        ok = ok & (~a1v | (U1 <= maxbp)) & (~a2v | (U2 <= maxbp))
+        mu1, ev1, msst = _recover4(msst, U1, sp1, ek1, e11, pLSB, a1v,
                                    clamp)
         mu2, ev2, msst = _recover4(msst, U2, sp2, ek2, e12, pLSB, a2v,
                                    clamp)
         vst, mst, msst = refill(vst, mst, msst)
         wnext = jnp.where(a2v, ((sp2 >> 2) | (sp2 >> 3)) & 1,
-                          ((sp1 >> 2) | (sp1 >> 3)) & 1)
+                          jnp.where(a1v, ((sp1 >> 2) | (sp1 >> 3)) & 1,
+                                    wprev))
         ys = (jnp.concatenate([mu1, mu2], axis=1),
               jnp.concatenate([ev1, ev2], axis=1),
               jnp.stack([sp1, sp2], axis=1))
-        return (vst, mst, msst, ok, wnext), ys
+        return (vst, mst, msst, ok, wnext, rowact), ys
 
-    def row_body(carry, _):
+    def row_body(carry, row):
         vst, mst, msst, ok, sp_prev, e_prev = carry
+        rowact = ones if dims is None else (row < qhs)
         cA, kmax = row_above_inputs(sp_prev, e_prev)
-        xs = (pad_pairs(cA), pad_pairs(kmax), a2_pairs)
-        inner = (vst, mst, msst, ok, zeros)
+        xs = (pad_pairs(cA), pad_pairs(kmax), a2_pairs, pair_idx)
+        inner = (vst, mst, msst, ok, zeros, rowact)
         inner, (muk, ek_, spk) = jax.lax.scan(rowk_pair, inner, xs)
-        vst, mst, msst, ok, _ = inner
+        vst, mst, msst, ok, _, _ = inner
         mu_row = jnp.transpose(muk, (1, 0, 2)).reshape(N, 8 * P)[:, :4 * qw]
         e_row = jnp.transpose(ek_, (1, 0, 2)).reshape(N, 8 * P)[:, :4 * qw]
         sp_row = jnp.transpose(spk, (1, 0, 2)).reshape(N, 2 * P)[:, :qw]
         return (vst, mst, msst, ok, sp_row, e_row), (mu_row, sp_row)
 
     carry = (vst, mst, msst, ok, sp_prev, e_prev)
-    carry, (mu_rows, sp_rows) = jax.lax.scan(row_body, carry, None,
-                                             length=qh - 1)
+    carry, (mu_rows, sp_rows) = jax.lax.scan(row_body, carry,
+                                             jnp.arange(1, qh, dtype=I32))
     ok = carry[3]
     mu = jnp.concatenate([mu_row0[None], mu_rows], axis=0)   # (qh, N, 4qw)
     sp = jnp.concatenate([sp_prev[None], sp_rows], axis=0)   # (qh, N, qw)
@@ -532,6 +562,16 @@ def decode_cleanup_scan_sig(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
     SigProp/MagRef refinement kernel (ops/ht_refine.py)."""
     return _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
                          qw, qh, ms_class)
+
+
+@functools.partial(jax.jit, static_argnames=("qw", "qh", "ms_class"))
+def decode_cleanup_scan_dims(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
+                             qws, qhs, qw: int, qh: int, ms_class: int):
+    """v3 merged-bucket front-end: per-lane quad-grid dims (qws, qhs)
+    let codeblocks of different shapes share one launch. Returns
+    (mu, sig, ok); lanes emit zeros beyond their own dims."""
+    return _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
+                         qw, qh, ms_class, dims=(qws, qhs))
 
 
 # ---------------------------------------------------------------------------

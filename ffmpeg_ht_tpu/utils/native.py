@@ -194,14 +194,16 @@ _T2_BOUND = False
 
 
 def t2_parse_packets(body: bytes, pkt_nband, pkt_csty, pkt_style,
-                     bi_base, bi_cw, bi_ch, bi_magb, roi_shift: int,
-                     ncblks: int):
-    """Native single-layer packet-header parse.
+                     pkt_layno, bi_base, bi_cw, bi_ch, bi_magb, bi_tree,
+                     n_trees: int, roi_shift: int, ncblks: int,
+                     max_segs: int = 1):
+    """Native packet-header parse (all quality layers).
 
-    Returns dict of flat per-cblk arrays, or None when the library is
-    unavailable / the stream leaves the supported profile (caller falls
-    back to the Python T2).  Raises InvalidData on malformed headers
-    (error parity with t2.decode_packet)."""
+    Returns dict of flat per-cblk arrays (seg_off/seg_len are
+    (ncblks, max_segs) per-layer payload ranges), or None when the
+    library is unavailable / the stream leaves the supported profile
+    (caller falls back to the Python T2). Raises InvalidData on
+    malformed headers (error parity with t2.decode_packet)."""
     lib = load()
     if lib is None:
         return None
@@ -210,31 +212,91 @@ def t2_parse_packets(body: bytes, pkt_nband, pkt_csty, pkt_style,
         lib.t2_parse_packets.restype = ctypes.c_int
         lib.t2_parse_packets.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                          ctypes.c_int32] \
-            + [ctypes.c_void_p] * 7 \
-            + [ctypes.c_int32, ctypes.c_int32] + [ctypes.c_void_p] * 8
+            + [ctypes.c_void_p] * 9 \
+            + [ctypes.c_int32] * 4 + [ctypes.c_void_p] * 10
         _T2_BOUND = True
     npackets = len(pkt_nband)
     o = {k: np.zeros(ncblks, np.int32)
-         for k in ("incl", "zbp", "nzb", "npasses")}
+         for k in ("incl", "zbp", "nzb", "npasses", "nseg")}
     o.update({k: np.zeros(ncblks, np.int64)
-              for k in ("lcup", "lref", "off", "len")})
+              for k in ("lcup", "lref", "len")})
+    o["seg_off"] = np.zeros((ncblks, max_segs), np.int64)
+    o["seg_len"] = np.zeros((ncblks, max_segs), np.int64)
     bodyb = np.frombuffer(body, np.uint8)
     rc = lib.t2_parse_packets(
         bodyb.ctypes.data, len(body), npackets,
         np.ascontiguousarray(pkt_nband, np.int32).ctypes.data,
         np.ascontiguousarray(pkt_csty, np.int32).ctypes.data,
         np.ascontiguousarray(pkt_style, np.int32).ctypes.data,
+        np.ascontiguousarray(pkt_layno, np.int32).ctypes.data,
         np.ascontiguousarray(bi_base, np.int32).ctypes.data,
         np.ascontiguousarray(bi_cw, np.int32).ctypes.data,
         np.ascontiguousarray(bi_ch, np.int32).ctypes.data,
         np.ascontiguousarray(bi_magb, np.int32).ctypes.data,
-        roi_shift, ncblks,
+        np.ascontiguousarray(bi_tree, np.int32).ctypes.data,
+        n_trees, roi_shift, ncblks, max_segs,
         o["incl"].ctypes.data, o["zbp"].ctypes.data, o["nzb"].ctypes.data,
         o["npasses"].ctypes.data, o["lcup"].ctypes.data,
-        o["lref"].ctypes.data, o["off"].ctypes.data, o["len"].ctypes.data)
+        o["lref"].ctypes.data,
+        o["seg_off"].ctypes.data, o["seg_len"].ctypes.data,
+        o["nseg"].ctypes.data, o["len"].ctypes.data)
     if rc == -100:
         return None
     if rc != 0:
         from ffmpeg_ht_tpu.utils.errors import InvalidData
         raise InvalidData("malformed packet headers (native T2)")
     return o
+
+
+# ---------------------------------------------------------------------------
+# Legacy EBCOT/MQ decoder (native/ebcot.c)
+# ---------------------------------------------------------------------------
+
+_EBCOT_BOUND = False
+
+
+def ebcot_decode_cblk(data: bytes, npasses: int, nonzerobits: int,
+                      cblk_style: int, width: int, height: int,
+                      bandpos: int, magb: int, roi_shift: int,
+                      nb_terminations: int, data_start,
+                      log2_cblk_width: int):
+    """Native MQ/EBCOT code-block decode; returns (h, w) int32 or None
+    if the library is unavailable. Raises InvalidData like the Python
+    tier on malformed pass structure."""
+    lib = load()
+    if lib is None:
+        return None
+    global _EBCOT_BOUND
+    if not _EBCOT_BOUND:
+        lib.ebcot_decode_cblk.restype = ctypes.c_int
+        lib.ebcot_decode_cblk.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        _EBCOT_BOUND = True
+    stride = (1 << log2_cblk_width) + 2
+    ds = np.ascontiguousarray(
+        np.asarray(data_start if data_start is not None else [0],
+                   np.int64))
+    buf = np.frombuffer(bytes(data), np.uint8) if len(data) \
+        else np.zeros(1, np.uint8)
+    work = np.empty(stride * height + stride * (height + 2), np.uint32)
+    out = np.empty((height, width), np.int32)
+    rc = lib.ebcot_decode_cblk(
+        buf.ctypes.data, len(data), npasses, nonzerobits, cblk_style,
+        width, height, bandpos, magb, roi_shift, nb_terminations,
+        ds.ctypes.data, len(ds), log2_cblk_width, 0,
+        work.ctypes.data, out.ctypes.data)
+    if rc < 0:
+        from ffmpeg_ht_tpu.utils.errors import InvalidData
+        raise InvalidData("bpno became invalid" if rc == -1
+                          else "Missing needed termination")
+    if rc == 1:
+        from ffmpeg_ht_tpu.utils.log import logger
+        logger.error("Segmentation symbol value incorrect")
+    return out

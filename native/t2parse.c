@@ -175,19 +175,24 @@ static int getlblockinc(BitReader *br)
 #define CTSY_HTJ2K_F 0x40
 #define HT_PLHD_ON   1
 
-/* per-cblk parse state */
+/* per-cblk parse state (persists across quality layers) */
 typedef struct {
     int incl, npasses, lblock, ht_plhd, modes;
     int64_t lcup, lref, total;
 } CState;
 
-/* _decode_lengths parity for the supported profile; appends segment
- * byte-counts to cs->lcup / cs->lref / cs->total. */
-static int decode_lengths(BitReader *br, CState *cs, int newpasses)
+/* _decode_lengths parity (t2.py:281-431 / jpeg2000dec.c:1256-1439) for
+ * the HTONLY profile, including placeholder-pass layers and non-initial
+ * quality-layer segments; HT-MIXED transitions and TERMALL/BYPASS
+ * legacy segmentation fall back (T2_UNSUPPORTED).
+ * Appends this packet's segment byte-count to *seg_bytes. */
+static int decode_lengths(BitReader *br, CState *cs, int newpasses,
+                          int64_t *seg_bytes)
 {
     int bits_to_read = 0;
     int64_t segment_bytes = 0;
     int segment_passes = 0, next_segment_passes = 0;
+    int64_t pkt_bytes = 0;
 
     if (cs->ht_plhd) {
         int href_passes = (cs->npasses + newpasses - 1) % 3;
@@ -195,33 +200,65 @@ static int decode_lengths(BitReader *br, CState *cs, int newpasses)
         int pass_bound = 2;
         bits_to_read = cs->lblock;
         if (segment_passes < 1) {
-            /* placeholder passes or MIXED: fall back */
-            return T2_UNSUPPORTED;
-        }
-        while (pass_bound <= segment_passes) {
-            bits_to_read++;
-            pass_bound += pass_bound;
-        }
-        segment_bytes = br_bits(br, bits_to_read);
-        if (segment_bytes) {
-            if (cs->modes & CTSY_HTJ2K_F) {
-                /* HTONLY first cleanup (the HT_MIXED variants fall back
-                 * in the caller by cblk_style gating) */
-                if (segment_bytes < 2)
-                    return T2_INVALID;
-                next_segment_passes = 2;
-                cs->ht_plhd = 0;
-                cs->lcup = segment_bytes;
-            } else {
-                return T2_UNSUPPORTED;
+            /* placeholder passes or MIXED start (t2.py:294-307) */
+            segment_passes = newpasses;
+            while (pass_bound <= segment_passes) {
+                bits_to_read++;
+                pass_bound += pass_bound;
             }
+            segment_bytes = br_bits(br, bits_to_read);
+            if (segment_bytes)
+                return T2_UNSUPPORTED;      /* MIXED or invalid */
         } else {
-            return T2_UNSUPPORTED;  /* placeholder-ish; rare */
+            while (pass_bound <= segment_passes) {
+                bits_to_read++;
+                pass_bound += pass_bound;
+            }
+            segment_bytes = br_bits(br, bits_to_read);
+            if (segment_bytes) {
+                if (cs->modes & CTSY_HTJ2K_F) {
+                    /* first HT Cleanup pass (HTONLY arm) */
+                    if (segment_bytes < 2)
+                        return T2_INVALID;
+                    next_segment_passes = 2;
+                    cs->ht_plhd = 0;
+                    cs->lcup = segment_bytes;
+                } else {
+                    return T2_UNSUPPORTED;
+                }
+            } else {
+                /* probably placeholder passes; read extra length bits
+                 * (t2.py:337-352) */
+                segment_passes = newpasses;
+                if (pass_bound <= segment_passes) {
+                    for (;;) {
+                        bits_to_read++;
+                        pass_bound += pass_bound;
+                        segment_bytes =
+                            (segment_bytes << 1) | br_bit(br);
+                        if (pass_bound > segment_passes)
+                            break;
+                    }
+                    if (segment_bytes)
+                        return T2_UNSUPPORTED;  /* MIXED or invalid */
+                }
+            }
         }
     } else if (cs->modes & CTSY_HTJ2K_F) {
-        /* quality layer commences with a non-initial HT pass — cannot
-         * happen with a single layer */
-        return T2_UNSUPPORTED;
+        /* quality layer commences with a non-initial HT coding pass
+         * (t2.py:353-368) */
+        segment_passes = cs->npasses % 3;
+        if (segment_passes == 0) {
+            segment_passes = 1;
+            next_segment_passes = 2;
+        } else {
+            segment_passes = newpasses > 1 ? 3 - segment_passes : 1;
+            next_segment_passes = 1;
+            bits_to_read = av_log2i((uint32_t)segment_passes);
+        }
+        bits_to_read += cs->lblock;
+        segment_bytes = br_bits(br, bits_to_read);
+        cs->lref += segment_bytes;
     } else if (!(cs->modes & (CBLK_TERMALL | CBLK_BYPASS))) {
         bits_to_read = cs->lblock + av_log2i((uint32_t)newpasses);
         segment_bytes = br_bits(br, bits_to_read);
@@ -232,6 +269,7 @@ static int decode_lengths(BitReader *br, CState *cs, int newpasses)
 
     cs->npasses += segment_passes;
     cs->total += segment_bytes;
+    pkt_bytes += segment_bytes;
 
     if ((cs->modes & CTSY_HTJ2K_F) && !cs->ht_plhd) {
         newpasses -= segment_passes;
@@ -244,12 +282,14 @@ static int decode_lengths(BitReader *br, CState *cs, int newpasses)
             cs->lref += segment_bytes;
             cs->npasses += segment_passes;
             cs->total += segment_bytes;
+            pkt_bytes += segment_bytes;
         }
     } else {
         newpasses -= segment_passes;
         if (newpasses > 0)
             return T2_UNSUPPORTED;
     }
+    *seg_bytes = pkt_bytes;
     return T2_OK;
 }
 
@@ -261,36 +301,51 @@ int t2_parse_packets(
     const int32_t *pkt_nband,
     const int32_t *pkt_csty,
     const int32_t *pkt_cblk_style,
+    const int32_t *pkt_layno,
     const int32_t *bi_cblk_base,
     const int32_t *bi_cw,
     const int32_t *bi_ch,
     const int32_t *bi_magb,
+    const int32_t *bi_tree,     /* band-instance ordinal (tag-tree id) */
+    int32_t n_trees,
     int32_t roi_shift,
     int32_t ncblks,
+    int32_t max_segs,
     int32_t *o_incl, int32_t *o_zbp, int32_t *o_nzb,
     int32_t *o_npasses, int64_t *o_lcup, int64_t *o_lref,
-    int64_t *o_off, int64_t *o_len)
+    int64_t *o_seg_off, int64_t *o_seg_len, int32_t *o_nseg,
+    int64_t *o_len)
 {
     BitReader br = { body, 0, body_len, 8 };
     int bi = 0;
     int ret = T2_OK;
 
     memset(o_incl, 0, (size_t)ncblks * sizeof(int32_t));
+    memset(o_nseg, 0, (size_t)ncblks * sizeof(int32_t));
+    memset(o_len, 0, (size_t)ncblks * sizeof(int64_t));
+
+    CState *states = calloc((size_t)ncblks, sizeof(CState));
+    TagTree *incl_t = calloc((size_t)n_trees, sizeof(TagTree));
+    TagTree *zero_t = calloc((size_t)n_trees, sizeof(TagTree));
+    uint8_t *tree_ready = calloc((size_t)n_trees, 1);
+    /* this packet's per-cblk byte counts, for the payload pass */
+    int64_t *pkt_bytes = calloc((size_t)ncblks, sizeof(int64_t));
+    if (!states || !incl_t || !zero_t || !tree_ready || !pkt_bytes)
+        ret = T2_INVALID;
 
     for (int p = 0; p < npackets && ret == T2_OK; p++) {
         int nband = pkt_nband[p];
         int csty = pkt_csty[p];
         int style = pkt_cblk_style[p];
+        int layno = pkt_layno[p];
 
         if (style & ~CTSY_HTJ2K_F) {    /* VSC/TERMALL/BYPASS/... */
             ret = T2_UNSUPPORTED;
             break;
         }
 
-        /* SOP before the packet (select_stream, jpeg2000dec.c:1125-1132).
-         * The 6-byte segment (marker + Lsop + Nsop) must fit entirely;
-         * a truncated SOP at the stream tail is an error, not a silent
-         * cursor overrun. */
+        /* SOP before the packet (select_stream, jpeg2000dec.c:1125-1132);
+         * the full 6-byte segment must fit. */
         if (csty & 0x02) {
             if (br.pos + 2 <= br.end
                 && br.buf[br.pos] == 0xFF && br.buf[br.pos + 1] == 0x91) {
@@ -315,62 +370,79 @@ int t2_parse_packets(
 
         /* pass 1: headers */
         int first_bi = bi;
-        /* remember which cblks got new passes this packet and how long */
-        /* (single layer: each cblk contributes one contiguous range)   */
         for (int b = 0; b < nband && ret == T2_OK; b++, bi++) {
             int cw = bi_cw[bi], ch = bi_ch[bi];
             int base = bi_cblk_base[bi];
             int magb = bi_magb[bi];
+            int tid = bi_tree[bi];
             int ncb = cw * ch;
             if (!ncb)
                 continue;
-            TagTree incl_t, zero_t;
-            if (tt_init(&incl_t, cw, ch) || tt_init(&zero_t, cw, ch))
-                return T2_INVALID;
+            if (tid < 0 || tid >= n_trees) {
+                ret = T2_INVALID;
+                break;
+            }
+            if (!tree_ready[tid]) {
+                if (tt_init(&incl_t[tid], cw, ch)
+                    || tt_init(&zero_t[tid], cw, ch)) {
+                    ret = T2_INVALID;
+                    break;
+                }
+                tree_ready[tid] = 1;
+            }
             for (int c = 0; c < ncb && ret == T2_OK; c++) {
                 int idx = base + c;
+                CState *cs = &states[idx];
+                pkt_bytes[idx] = 0;
                 int included;
-                /* layno == 0 */
-                included = tt_decode(&incl_t, &br, c, 1) == 0;
-                if (included) {
-                    int zbp = tt_decode(&zero_t, &br, c, 100);
+                if (!cs->incl) {
+                    included =
+                        tt_decode(&incl_t[tid], &br, c, layno + 1)
+                        <= layno;
+                } else {
+                    included = br_bit(&br);
+                }
+                if (!included)
+                    continue;
+                if (!cs->incl) {
+                    int zbp = tt_decode(&zero_t[tid], &br, c, 100);
                     int v = magb - (zbp - roi_shift);
                     if (v < 0 || v > 30) {
                         ret = T2_INVALID;
                         break;
                     }
+                    cs->incl = 1;
+                    cs->lblock = 3;
+                    cs->ht_plhd = (style & CTSY_HTJ2K_F) ? HT_PLHD_ON : 0;
+                    cs->modes = style;
                     o_incl[idx] = 1;
                     o_zbp[idx] = zbp;
                     o_nzb[idx] = v;
-
-                    CState cs = { 1, /*npasses*/ 0, /*lblock*/ 3,
-                                  (style & CTSY_HTJ2K_F) ? HT_PLHD_ON : 0,
-                                  style, 0, 0, 0 };
-                    int newpasses = getnpasses(&br);
-                    if (newpasses >= 100) {     /* MAX_PASSES guard */
-                        ret = T2_UNSUPPORTED;
-                        break;
-                    }
-                    int llen = getlblockinc(&br);
-                    if (cs.lblock + llen + av_log2i((uint32_t)newpasses)
-                        > 16) {
-                        ret = T2_UNSUPPORTED;
-                        break;
-                    }
-                    cs.lblock += llen;
-                    int r = decode_lengths(&br, &cs, newpasses);
-                    if (r != T2_OK) {
-                        ret = r;
-                        break;
-                    }
-                    o_npasses[idx] = cs.npasses;
-                    o_lcup[idx] = cs.lcup ? cs.lcup : cs.total;
-                    o_lref[idx] = cs.lref;
-                    o_len[idx] = cs.total;
                 }
+                int newpasses = getnpasses(&br);
+                if (newpasses >= 100) {     /* MAX_PASSES guard */
+                    ret = T2_UNSUPPORTED;
+                    break;
+                }
+                int llen = getlblockinc(&br);
+                if (cs->lblock + llen + av_log2i((uint32_t)newpasses)
+                    > 16) {
+                    ret = T2_UNSUPPORTED;
+                    break;
+                }
+                cs->lblock += llen;
+                int64_t seg = 0;
+                int r = decode_lengths(&br, cs, newpasses, &seg);
+                if (r != T2_OK) {
+                    ret = r;
+                    break;
+                }
+                pkt_bytes[idx] = seg;
+                o_npasses[idx] = cs->npasses;
+                o_lcup[idx] = cs->lcup ? cs->lcup : cs->total;
+                o_lref[idx] = cs->lref;
+                o_len[idx] = cs->total;
             }
-            tt_free(&incl_t);
-            tt_free(&zero_t);
         }
         if (ret != T2_OK)
             break;
@@ -383,19 +455,41 @@ int t2_parse_packets(
         }
 
         /* pass 2: payload offsets (stream order = cblk order) */
-        for (int b2 = first_bi; b2 < first_bi + nband; b2++) {
+        for (int b2 = first_bi; b2 < first_bi + nband && ret == T2_OK;
+             b2++) {
             int ncb = bi_cw[b2] * bi_ch[b2];
             int base = bi_cblk_base[b2];
             for (int c = 0; c < ncb; c++) {
                 int idx = base + c;
-                if (o_incl[idx] && o_len[idx] > 0) {
-                    if (br.pos + o_len[idx] > br.end)
-                        return T2_INVALID;
-                    o_off[idx] = br.pos;
-                    br.pos += o_len[idx];
+                int64_t nb = pkt_bytes[idx];
+                if (!nb)
+                    continue;
+                if (br.pos + nb > br.end) {
+                    ret = T2_INVALID;
+                    break;
                 }
+                int ns = o_nseg[idx];
+                if (ns >= max_segs) {
+                    ret = T2_UNSUPPORTED;
+                    break;
+                }
+                o_seg_off[(int64_t)idx * max_segs + ns] = br.pos;
+                o_seg_len[(int64_t)idx * max_segs + ns] = nb;
+                o_nseg[idx] = ns + 1;
+                br.pos += nb;
             }
         }
     }
+
+    if (states) free(states);
+    if (pkt_bytes) free(pkt_bytes);
+    for (int t = 0; t < n_trees; t++)
+        if (tree_ready && tree_ready[t]) {
+            tt_free(&incl_t[t]);
+            tt_free(&zero_t[t]);
+        }
+    if (incl_t) free(incl_t);
+    if (zero_t) free(zero_t);
+    if (tree_ready) free(tree_ready);
     return ret;
 }

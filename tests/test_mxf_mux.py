@@ -71,3 +71,27 @@ def test_mxf_decoder_integration():
     outs = [decode_frame(f, bitexact=True).tobytes()
             for f in demux_mxf(mxf)]
     assert outs == [i.tobytes() for i in imgs]
+
+
+def test_mxf_clip_wrap_mux_roundtrip():
+    """mux_mxf(wrapping='clip'): one essence KLV, clip EC UL; our
+    demuxer splits it back into the original codestreams."""
+    from ffmpeg_ht_tpu.containers.mxf import _EC_J2K_CLIP, _ELEM_J2K
+    _, frames, _ = _mux_sample()
+    mxf = mux_mxf(frames, 96, 64, wrapping="clip")
+    assert probe_mxf(mxf)
+    assert mxf.count(_ELEM_J2K) == 1      # single clip KLV
+    assert _EC_J2K_CLIP in mxf            # ST 422 clip-wrapped UL
+    assert list(demux_mxf(mxf)) == frames
+
+
+@pytest.mark.skipif(not have_ffmpeg(), reason="reference ffmpeg not built")
+def test_mxf_clip_wrap_reference_decodes(tmp_path):
+    imgs, frames, _ = _mux_sample()
+    mxf = mux_mxf(frames, 96, 64, wrapping="clip")
+    p = tmp_path / "clip.mxf"
+    p.write_bytes(mxf)
+    r = subprocess.run([FFMPEG, "-loglevel", "error", "-i", str(p),
+                        "-f", "rawvideo", "-"], capture_output=True,
+                       check=True)
+    assert r.stdout == b"".join(i.tobytes() for i in imgs)

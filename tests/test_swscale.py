@@ -66,7 +66,15 @@ def test_gray_to_rgb_matches_reference(ffmpeg):
 
 def test_yuv_to_rgb_close_to_reference(ffmpeg):
     """yuv444p content to rgb24: BT.601 limited-range, within sws's
-    dither/rounding envelope."""
+    dither/rounding envelope.
+
+    SCOPE CUT (deliberate, swscale.py:21-26): matching libswscale
+    bit-for-bit is out of scope — its output depends on dither state and
+    SIMD width — so the FATE p0_07/p0_08 pattern (exact framecrc
+    *through* conversion, tests/fate/jpeg2000.mak:37-41) cannot be
+    replicated on converted YUV output. Converted output is pinned to
+    the reference within a small LSB envelope instead; gray->rgb and all
+    round-trips ARE exact (tests above)."""
     planes = [RNG.integers(16, 236, (48, 64), dtype=np.uint8),
               RNG.integers(16, 241, (24, 32), dtype=np.uint8),
               RNG.integers(16, 241, (24, 32), dtype=np.uint8)]

@@ -76,6 +76,25 @@ def test_ppt_decode_parity(ffmpeg):
                                            "-flags", "+bitexact")
 
 
+def test_ppm_decode_parity(ffmpeg):
+    """Packed packet headers in the MAIN header (PPM, T.800 A.7.4): the
+    decoder must slice hdr.packed_headers by the Nppm prefixes in SOD
+    order (t2.py:440-448; ref jpeg2000dec.c PPM handling). Multi-tile so
+    several Nppm records exercise the distribution."""
+    from ffmpeg_ht_tpu.models.encoder import encode_frame_t800
+    img = RNG.integers(0, 256, (96, 80), dtype=np.uint8)
+    plain = encode_frame_t800(img, tile_width=48, tile_height=48)
+    ppm = encode_frame_t800(img, tile_width=48, tile_height=48, ppm=True)
+    # PPM lives in the MAIN header (before the first SOT); FF60 can
+    # legally appear inside MQ payload bytes, so only check there
+    assert b"\xff\x60" in ppm[:ppm.find(b"\xff\x90")]
+    assert b"\xff\x60" not in plain[:plain.find(b"\xff\x90")]
+    ours = decode_frame(ppm, bitexact=True).tobytes()
+    assert ours == decode_frame(plain, bitexact=True).tobytes()
+    assert ours == ffmpeg_decode_raw_bytes(ffmpeg, ppm, ".j2k",
+                                           "-flags", "+bitexact")
+
+
 def test_ppt_multilayer_rgb_decode_parity(ffmpeg):
     from ffmpeg_ht_tpu.models.encoder import encode_frame_t800
     img = _rgb_raw(64, 96)
