@@ -245,6 +245,13 @@ def encode_packet(out: bytearray, rlevel, layno: int, precno: int,
                 len_log = length.bit_length() - 1 if length else 0
                 if e.lblock + np_log < len_log + 1:
                     llen = len_log + 1 - e.lblock - np_log
+                if getattr(e, "mixed_ht", False):
+                    # MIXED-set HT Cleanup classification (decode side
+                    # t2.py:321 / jpeg2000dec.c:1287-1299) requires
+                    # lblock > 3 AND a leading zero on the length field;
+                    # widen so lblock >= max(4, av_log2(len) + 2)
+                    llen = max(llen, 4 - e.lblock - np_log,
+                               len_log + 2 - e.lblock - np_log)
                 e.lblock += llen
                 bp.put_bits(1, llen)
                 bp.put_bits(0, 1)

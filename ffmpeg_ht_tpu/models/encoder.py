@@ -95,6 +95,13 @@ class EncoderConfig:
                            # ht_plhd branch) test-vector source
     mct: bool = False      # component transform (RCT if pred=1, ICT if 0);
                            # HT encoder only (j2kenc never signals MCT)
+    ht_mixed: bool = False  # HT MIXED set (Ccap15 bits 14-15 = 3, SPcod
+                           # style 0xC0): alternate codeblocks between the
+                           # HT Cleanup coder and the legacy T.800 MQ
+                           # coder — the decode-side vector source for the
+                           # MIXED length state machine (t2.py:303-351 /
+                           # jpeg2000dec.c:1256-1439). Requires pred=1,
+                           # single layer, refinement=False
 
 
 def _init_quantization(codsty: CodingStyle, qntsty: QuantStyle,
@@ -373,6 +380,43 @@ def _encode_tile_components(tile: Tile, planes: List[np.ndarray],
                         cblk.enc = e
 
 
+def _mixed_legacy_cblk(cblk, blk: np.ndarray, w: int, h: int,
+                       bandpos: int) -> bool:
+    """Code one block with the legacy T.800 MQ coder for an ht_mixed
+    stream, if its length signaling survives the decoder's MIXED
+    classification (t2.py:308-335 / jpeg2000dec.c:1287-1335).
+
+    First inclusion reads lblock + av_log2(seg1) bits (seg1 = the HT
+    Cleanup candidate pass count) and classifies the block as legacy only
+    when that first chunk is nonzero, then widens to lblock +
+    av_log2(npasses) bits — the standard legacy field.  So emission is
+    byte-identical to the plain legacy form and the only constraint is
+    that the total length's top chunk is nonzero:
+    av_log2(L) >= av_log2(npasses) - av_log2(seg1).
+
+    Returns False (caller encodes the block with the HT coder instead)
+    when the block would be misclassified."""
+    el = t1_enc.encode_cblk(blk << NMSEDEC_FRACBITS, w, h, bandpos)
+    np_ = el.npasses
+    if np_ <= 0:
+        return False
+    total = el.passes[np_ - 1].rate + len(el.passes[np_ - 1].flushed)
+    if total <= 0:
+        return False
+
+    def av_log2(n: int) -> int:
+        return n.bit_length() - 1 if n >= 1 else 0
+
+    seg1 = np_ - (np_ - 1) % 3
+    if av_log2(total) < av_log2(np_) - av_log2(seg1):
+        return False
+    el.ninclpasses = np_
+    el.layers = [dict(npasses=np_, cum_passes=np_, data_start=0,
+                      data_len=el.passes[np_ - 1].rate, disto=0)]
+    cblk.enc = el
+    return True
+
+
 def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                        chroma_shift=(0, 0), depth: Optional[int] = None,
                        refinement: bool = False,
@@ -396,6 +440,9 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
 
     cfg = EncoderConfig(**opts)
     lossy = not cfg.pred
+    if cfg.ht_mixed and (lossy or refinement or cfg.ht_plhd_single):
+        raise ValueError("ht_mixed requires pred=1, refinement=False, "
+                         "ht_plhd_single=False")
 
     if isinstance(img, np.ndarray):
         planes_in = [img] if img.ndim == 2 else \
@@ -416,7 +463,8 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
         nreslevels=cfg.nreslevels, nreslevels2decode=cfg.nreslevels,
         log2_cblk_width=cfg.log2_cblk_width,
         log2_cblk_height=cfg.log2_cblk_height,
-        cblk_style=mk.CTSY_HTJ2K_F, mct=1 if use_mct else 0,
+        cblk_style=(mk.CTSY_HTJ2K_F | mk.HT_MIXED) if cfg.ht_mixed
+        else mk.CTSY_HTJ2K_F, mct=1 if use_mct else 0,
         transform=mk.DWT97_INT if lossy else mk.DWT53, init=True)
     if cfg.log2_prec_width:
         codsty.log2_prec_widths = [cfg.log2_prec_width] * mk.MAX_RESLEVELS
@@ -533,10 +581,13 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
     b_field = max(0, max_magb - 8)
     if b_field > 19:
         raise ValueError(f"B={max_magb} not encodable in Ccap15")
-    # HTONLY, single HT set, RGNFREE, HOMOGENEOUS; bit5 set = irreversible
-    # transforms allowed (clear = HTREV reversible-only set, which the
-    # reference rejects for transform 0, jpeg2000dec.c:1056-1059)
-    ccap15 = b_field | (0x20 if lossy else 0)
+    # HTONLY (or MIXED: bits 14-15 = 3, matching SPcod style >> 6 per the
+    # reference check jpeg2000dec.c:1060-1063), single HT set, RGNFREE,
+    # HOMOGENEOUS; bit5 set = irreversible transforms allowed (clear =
+    # HTREV reversible-only set, which the reference rejects for
+    # transform 0, jpeg2000dec.c:1056-1059)
+    ccap15 = b_field | (0x20 if lossy else 0) \
+        | (0xC000 if cfg.ht_mixed else 0)
     out.extend(_be16(mk.CAP) + _be16(2 + 4 + 2))  # Lcap
     out.extend(_be32(1 << 17))  # Pcap: Ccap15 present
     out.extend(_be16(ccap15))
@@ -549,6 +600,7 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
     ppm_records: list = []
     tlm_parts: list = []
 
+    mix_idx = 0  # ht_mixed coder alternator (included blocks only)
     for tileno in range(ntiles):
         tile = tiles[tileno]
         for compno, comp in enumerate(tile.comp):
@@ -559,6 +611,7 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                     magb = (qntsty.expn[subbandno] + qntsty.nguardbits - 1)
                     subbandno += 1
                     zbp = magb - 1
+                    bandpos = bandno + (1 if reslevelno > 0 else 0)
                     for prec in band.prec:
                         for cblk in prec.cblk:
                             w, h = cblk.width, cblk.height
@@ -574,6 +627,12 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                             blk = plane[y0:y0 + h, x0:x0 + w].astype(np.int64)
                             if not blk.any():
                                 continue
+                            if cfg.ht_mixed:
+                                mix_idx += 1
+                                if mix_idx % 2 and _mixed_legacy_cblk(
+                                        cblk, blk, w, h, bandpos):
+                                    continue
+                                e.mixed_ht = True
                             mag = np.abs(blk)
                             sign = (blk < 0).astype(np.int64)
                             enc3 = None
@@ -829,7 +888,7 @@ def _put_cod_ht(out: bytearray, cfg: EncoderConfig, codsty: CodingStyle,
     out.append(codsty.nreslevels - 1)
     out.append(codsty.log2_cblk_width - 2)
     out.append(codsty.log2_cblk_height - 2)
-    out.append(mk.CTSY_HTJ2K_F)
+    out.append(codsty.cblk_style)   # 0x40 HTONLY / 0xC0 MIXED
     out.append(1 if codsty.transform == mk.DWT53 else 0)
     if prec:
         for i in range(codsty.nreslevels):
