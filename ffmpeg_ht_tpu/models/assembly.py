@@ -238,7 +238,8 @@ def _compose_plane(ras, plane: PlanePlan, lane_off: int, dtype):
 
 def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
                     ms_class: int, n_pad: int, frames: int,
-                    donate: bool = False, as_jit: bool = True):
+                    donate: bool = False, as_jit: bool = True,
+                    no_istep: bool = False):
     """Build the fused jitted decode program for one geometry.
 
     Signature of the returned jit:
@@ -296,9 +297,10 @@ def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
             down = (31 - magb)[:, None, None]
             m = mag >> down
             coef = jnp.where(neg, -m, m)
-            istep_b = istep[:, None, None]
-            coef = jnp.where(istep_b != 32768,
-                             (coef * istep_b) >> 16, coef)
+            if not no_istep:
+                istep_b = istep[:, None, None]
+                coef = jnp.where(istep_b != 32768,
+                                 (coef * istep_b) >> 16, coef)
         coef = coef.astype(flat_dtype)
 
         # assemble per-frame planes (mosaics), flatten into one buffer
@@ -312,6 +314,9 @@ def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
         # host-decoded lanes (long-tail, extreme bitplanes): tiny scatter
         flat = flat.at[pf_idx].set(pf_val)
 
+        # per-plane DWT (a batched same-geometry variant was measured
+        # 2.3 ms/frame SLOWER in the fused program: the stack/unstack
+        # copies cost more than the shared schedule saves)
         outs = []
         for f in range(frames):
             for (poff, ph, pw), border, ndec in zip(planes, borders,

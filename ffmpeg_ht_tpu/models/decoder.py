@@ -978,13 +978,16 @@ class Decoder:
         if mb > 25:
             return None
         ms_class = next(c for c in (8, 12, 16, 20, 25) if mb <= c)
-        key = (F, ms_class)
+        # lossless (QSTY_NONE) frames: istep is uniformly the identity
+        # 32768, so the dequant multiply is dead — compile it out
+        no_istep = bool(np.all(np.asarray(args["istep"]) == 32768))
+        key = (F, ms_class, no_istep)
         prog = fg.v3_progs.get(key)
         if prog is None:
             prog = ASM.make_v3_program(
                 fg.v3_plan, fg.geom.key(), qw=fg.v3_plan.bw // 2,
                 qh=fg.v3_plan.bh // 2, ms_class=ms_class,
-                n_pad=fg.ncblks, frames=F)
+                n_pad=fg.ncblks, frames=F, no_istep=no_istep)
             fg.v3_progs[key] = prog
         return prog(**args)
 

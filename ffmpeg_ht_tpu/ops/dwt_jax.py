@@ -137,6 +137,196 @@ def _sr97f(p: jnp.ndarray, i0: int, i1: int) -> jnp.ndarray:
 _SR = {DWT53: _sr53, DWT97: _sr97f, DWT97_INT: _sr97i}
 
 
+# ---------------------------------------------------------------------------
+# polyphase lifting (v4 perf path)
+#
+# The interleaved-buffer formulation above costs ~20 plane traversals per
+# level on TPU (stride-2 minor-dim scatters + two transposes). Lifting
+# commutes with symmetric extension (each sweep is a symmetric function
+# of the other parity, so the mirror invariant p[i0-k] = p[i0+k] /
+# p[i1-1+k] = p[i1-1-k] is preserved by every sweep — the oracle's
+# staged extend-then-sweep relies on exactly this). So each sweep can be
+# computed on the SEPARATE L/H polyphase arrays with contiguous
+# whole-array slices, boundary terms mirrored into the valid range, and
+# the final interleave is a stack+reshape. The vertical pass runs the
+# same sweeps along axis 0 — no transposes at all. Bit-exact vs
+# ops/dwt.py (same op order and rounding); used for levels with both
+# dims >= 8, tiny levels keep the reference formulation.
+# ---------------------------------------------------------------------------
+
+
+def _mcat(A, lo: int, hi: int, vlo: int, vhi: int, mlo, mhi, axis: int):
+    """Values V[i], i in [lo, hi), where V[i] = A[i - vlo] along `axis`
+    for valid i and out-of-range i reflect via the static index maps
+    mlo/mhi. All bounds static."""
+    parts = []
+    for i in range(lo, min(hi, vlo)):
+        j = mlo(i) - vlo
+        parts.append(jax.lax.slice_in_dim(A, j, j + 1, axis=axis))
+    mid_lo, mid_hi = max(lo, vlo), min(hi, vhi)
+    if mid_hi > mid_lo:
+        parts.append(jax.lax.slice_in_dim(A, mid_lo - vlo, mid_hi - vlo,
+                                          axis=axis))
+    for i in range(max(lo, vhi), hi):
+        j = mhi(i) - vlo
+        parts.append(jax.lax.slice_in_dim(A, j, j + 1, axis=axis))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis)
+
+
+def _mpad_pair(A, lo: int, hi: int, vlo: int, vhi: int, mlo, mhi,
+               axis: int):
+    """(V[i], V[i+1]) for i in [lo, hi): ONE mirror-padded array spanning
+    [lo, hi+1) is materialized and the pair are two overlapping slices of
+    it — the slices fuse into the consuming elementwise op, so each
+    lifting sweep materializes one neighbor array instead of two."""
+    pad = _mcat(A, lo, hi + 1, vlo, vhi, mlo, mhi, axis)
+    n = hi - lo
+    return (jax.lax.slice_in_dim(pad, 0, n, axis=axis),
+            jax.lax.slice_in_dim(pad, 1, n + 1, axis=axis))
+
+
+def _poly_ranges(i0: int, i1: int):
+    """Valid polyphase index ranges and mirror maps for a line [i0, i1).
+    E[i] = p[2i], O[i] = p[2i+1]."""
+    # E valid indices: ceil(i0/2) .. (i1-1)//2 ; O valid: i0//2 .. (i1-2)//2
+    e_lo, e_hi = (i0 + 1) // 2, (i1 - 1) // 2 + 1
+    o_lo, o_hi = i0 // 2, (i1 - 2) // 2 + 1
+    e_mlo = lambda i: i0 - i
+    e_mhi = lambda i: i1 - 1 - i
+    o_mlo = lambda i: i0 - i - 1
+    o_mhi = lambda i: i1 - i - 2
+    return (e_lo, e_hi, e_mlo, e_mhi), (o_lo, o_hi, o_mlo, o_mhi)
+
+
+def _poly_sr53(E, O, i0: int, i1: int, axis: int):
+    (e_lo, e_hi, e_mlo, e_mhi), (o_lo, o_hi, o_mlo, o_mhi) = \
+        _poly_ranges(i0, i1)
+    OL, OR = _mpad_pair(O, e_lo - 1, e_hi - 1, o_lo, o_hi, o_mlo, o_mhi,
+                        axis)
+    E = E - ((OL + OR + 2) >> 2)
+    EL, ER = _mpad_pair(E, o_lo, o_hi, e_lo, e_hi, e_mlo, e_mhi, axis)
+    O = O + ((EL + ER) >> 1)
+    return E, O
+
+
+def _poly_sr97i(E, O, i0: int, i1: int, axis: int):
+    (e_lo, e_hi, e_mlo, e_mhi), (o_lo, o_hi, o_mlo, o_mhi) = \
+        _poly_ranges(i0, i1)
+
+    def pair_o(tlo, thi):
+        return _mpad_pair(O, tlo - 1, thi - 1, o_lo, o_hi, o_mlo, o_mhi,
+                          axis)
+
+    def pair_e(tlo, thi):
+        return _mpad_pair(E, tlo, thi, e_lo, e_hi, e_mlo, e_mhi, axis)
+
+    a, b = pair_o(e_lo, e_hi)
+    E = E - _q16j(I_LFTG_DELTA, a, b)
+    a, b = pair_e(o_lo, o_hi)
+    O = O - _q16j(I_LFTG_GAMMA, a, b)
+    a, b = pair_o(e_lo, e_hi)
+    E = E + _q16j(I_LFTG_BETA, a, b)
+    a, b = pair_e(o_lo, o_hi)
+    s = a.astype(jnp.int64) + b.astype(jnp.int64)
+    d = s.astype(jnp.int32) + (
+        (I_LFTG_ALPHA_PRIME * s + (1 << 15)) >> 16).astype(jnp.int32)
+    O = O + d
+    return E, O
+
+
+def _poly_sr97f(E, O, i0: int, i1: int, axis: int):
+    (e_lo, e_hi, e_mlo, e_mhi), (o_lo, o_hi, o_mlo, o_mhi) = \
+        _poly_ranges(i0, i1)
+
+    a, b = _mpad_pair(O, e_lo - 1, e_hi - 1, o_lo, o_hi, o_mlo, o_mhi,
+                      axis)
+    E = E - _F_DELTA * (a + b)
+    a, b = _mpad_pair(E, o_lo, o_hi, e_lo, e_hi, e_mlo, e_mhi, axis)
+    O = O - _F_GAMMA * (a + b)
+    a, b = _mpad_pair(O, e_lo - 1, e_hi - 1, o_lo, o_hi, o_mlo, o_mhi,
+                      axis)
+    E = E + _F_BETA * (a + b)
+    a, b = _mpad_pair(E, o_lo, o_hi, e_lo, e_hi, e_mlo, e_mhi, axis)
+    O = O + _F_ALPHA * (a + b)
+    return E, O
+
+
+_POLY_SR = {DWT53: _poly_sr53, DWT97: _poly_sr97f, DWT97_INT: _poly_sr97i}
+
+
+def _poly_interleave(E, O, i0: int, i1: int, axis: int):
+    """Interleave polyphase arrays back to line order [i0, i1)."""
+    nE = E.shape[axis]
+    nO = O.shape[axis]
+    first, second = (E, O) if (i0 & 1) == 0 else (O, E)
+    nf, ns = (nE, nO) if (i0 & 1) == 0 else (nO, nE)
+    if ns < nf:
+        pad = jax.lax.slice_in_dim(second, 0, nf - ns, axis=axis)
+        second = jnp.concatenate([second, pad], axis)
+    x = jnp.stack([first, second], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = shape[axis] * shape[axis + 1]
+    del shape[axis + 1]
+    x = x.reshape(shape)
+    if x.shape[axis] != i1 - i0:
+        x = jax.lax.slice_in_dim(x, 0, i1 - i0, axis=axis)
+    return x
+
+
+def _poly_level(rows, lh: int, lv: int, mh: int, mv: int, sr_poly,
+                hax: int = 1, vax: int = 0):
+    """One level, both dims, polyphase. `rows` is the (..., lv, lh) level
+    view with L|H halves along each axis; hax/vax allow a leading batch
+    dim (components of one tile share the program)."""
+    nLh = len(range(mh, lh, 2))
+    L = jax.lax.slice_in_dim(rows, 0, nLh, axis=hax)
+    H = jax.lax.slice_in_dim(rows, nLh, lh, axis=hax)
+    E, O = sr_poly(L, H, mh, mh + lh, axis=hax)
+    x = _poly_interleave(E, O, mh, mh + lh, axis=hax)
+
+    nLv = len(range(mv, lv, 2))
+    Lv = jax.lax.slice_in_dim(x, 0, nLv, axis=vax)
+    Hv = jax.lax.slice_in_dim(x, nLv, lv, axis=vax)
+    E, O = sr_poly(Lv, Hv, mv, mv + lv, axis=vax)
+    return _poly_interleave(E, O, mv, mv + lv, axis=vax)
+
+
+def dwt_poly_capable(border, ndeclevels: int) -> bool:
+    """True when every level of this geometry takes the polyphase path
+    (both dims >= 8) — the precondition for dwt_decode_batched."""
+    if ndeclevels == 0:
+        return False
+    linelen, _mod = dwt_levels(border, ndeclevels)
+    return all(linelen[lev][0] >= 8 and linelen[lev][1] >= 8
+               for lev in range(ndeclevels))
+
+
+def dwt_decode_batched(data, border, ndeclevels: int, dwt_type: int):
+    """Inverse DWT over a (C, H, W) batch of same-geometry planes in one
+    traced program (4:4:4 tiles run all components in one pass).
+    Requires dwt_poly_capable(border, ndeclevels)."""
+    if dwt_type == DWT97_INT and not jax.config.jax_enable_x64:
+        raise RuntimeError("DWT97_INT on device requires jax_enable_x64")
+    if ndeclevels == 0:
+        return data
+    linelen, mod = dwt_levels(border, ndeclevels)
+    sr_poly = _POLY_SR[dwt_type]
+    C = data.shape[0]
+    for lev in range(ndeclevels):
+        lh, lv = linelen[lev][0], linelen[lev][1]
+        mh, mv = mod[lev][0], mod[lev][1]
+        rows = jax.lax.slice(data, (0, 0, 0), (C, lv, lh))
+        out = _poly_level(rows, lh, lv, mh, mv, sr_poly, hax=2, vax=1)
+        data = jax.lax.dynamic_update_slice(data, out, (0, 0, 0))
+    if dwt_type == DWT97_INT:
+        h = linelen[ndeclevels - 1][1]
+        w = linelen[ndeclevels - 1][0]
+        v = jax.lax.slice(data, (0, 0, 0), (C, h, w)).astype(jnp.int64)
+        v = ((v + ((1 << I_PRESHIFT) >> 1)) >> I_PRESHIFT).astype(jnp.int32)
+        data = jax.lax.dynamic_update_slice(data, v, (0, 0, 0))
+    return data
+
+
 def _dwt_decode_traced(data: jnp.ndarray, border, ndeclevels: int,
                        dwt_type: int) -> jnp.ndarray:
     if dwt_type == DWT97_INT and not jax.config.jax_enable_x64:
@@ -148,12 +338,18 @@ def _dwt_decode_traced(data: jnp.ndarray, border, ndeclevels: int,
     linelen, mod = dwt_levels(border, ndeclevels)
     sr = _SR[dwt_type]
 
+    sr_poly = _POLY_SR[dwt_type]
     for lev in range(ndeclevels):
         lh, lv = linelen[lev][0], linelen[lev][1]
         mh, mv = mod[lev][0], mod[lev][1]
         if lh <= 0 or lv <= 0:
             continue
         rows = jax.lax.slice(data, (0, 0), (lv, lh))
+        if lh >= 8 and lv >= 8:
+            # polyphase: contiguous slices, no transposes (see above)
+            out = _poly_level(rows, lh, lv, mh, mv, sr_poly)
+            data = jax.lax.dynamic_update_slice(data, out, (0, 0))
+            continue
         p = _interleave(rows, lh, mh)
         p = sr(p, mh, mh + lh)
         rows = jax.lax.slice(p, (0, _PAD + mh), (lv, _PAD + mh + lh))

@@ -59,8 +59,11 @@ U32 = jnp.uint32
 # f32 matmuls at bf16 precision (0/1 one-hots and <=255 table bytes are
 # bf16-exact; the f32 accumulation of exact addends stays exact).
 def _split_tbl(t):
+    """(32, 64) side-by-side byte halves: ONE one-hot matmul picks both
+    byte planes of the row block (cols 0-31 low byte, 32-63 high)."""
     t = t.reshape(32, 32)
-    return ((t & 0xFF).astype(np.float32), (t >> 8).astype(np.float32))
+    return np.concatenate([(t & 0xFF).astype(np.float32),
+                           (t >> 8).astype(np.float32)], axis=1)
 
 
 _CXT0_NP = _split_tbl(tb.CXTVLC_PACKED[0].astype(np.int64))
@@ -155,14 +158,66 @@ def refill_top(words, st, lim, S: int):
     return (pos, widx, tuple(w))
 
 
+def group_view(words, G: int):
+    """(N, W) -> (N, ceil(W/G), G) zero-padded group view for the staged
+    refill (built once per kernel call, outside the scan)."""
+    N, W = words.shape
+    Wg = -(-W // G)
+    if Wg * G != W:
+        words = jnp.concatenate(
+            [words, jnp.zeros((N, Wg * G - W), words.dtype)], axis=1)
+    return words.reshape(N, Wg, G)
+
+
+def refill_top_staged(words_g, st, lim, S: int, G: int):
+    """Staged refill: the top S window slots span at most two G-aligned
+    word groups (S <= G + 1); extract both groups with ONE masked sweep
+    each (2*N*W element reads total, vs S*N*W for per-slot one-hot),
+    then place the S slots with cheap 2G-way register selects.
+
+    On the profiled 4K bucket the per-slot refill was ~65% of kernel
+    time and HBM-bound on re-reading the (N, W) stream arrays; this is
+    the v4 bandwidth fix."""
+    assert S <= G + 1
+    pos, widx, w = st
+    K = len(w)
+    Wg = words_g.shape[1]
+    base = widx + (K - S)            # absolute word of slot K-S
+    g0 = base // G
+    ar = jnp.arange(Wg, dtype=I32)[None, :]
+    cand = []
+    for gi in range(2):
+        sel = ar == (g0 + gi)[:, None]
+        for j in range(G):
+            cand.append(jnp.sum(jnp.where(sel, words_g[:, :, j],
+                                          jnp.uint32(0)),
+                                axis=1, dtype=U32))
+    off0 = base - g0 * G             # 0..G-1
+    w = list(w)
+    for s in range(S):
+        idx_c = off0 + s             # < 2G
+        v = cand[0]
+        for i in range(1, 2 * G):
+            v = jnp.where(idx_c == i, cand[i], v)
+        v = jnp.where(base + s >= lim, jnp.uint32(0xFFFFFFFF), v)
+        w[K - S + s] = v
+    return (pos, widx, tuple(w))
+
+
 def _budget(C: int):
     """(K, S) for a per-iteration consumption budget of C bits."""
     S = (31 + C) // 32
     return S + 2, S
 
 
-_VLC_K, _VLC_S = _budget(38)   # 2 CxtVLC (7+7) + U-pair worst 24
-_MEL_K, _MEL_S = _budget(24)   # 3 symbols x (1 + 5) bits worst
+# v4 per-SCAN-STEP budgets: one step decodes TWO quad-pairs, so each
+# stream refills once per two pairs (half the refill sweeps) and the
+# scan is half as long.
+_VLC_C = 2 * 38   # per pair: 2 CxtVLC (7+7) + U-pair worst 24
+_MEL_C = 2 * 24   # per pair: 3 symbols x (1 + 5) bits worst
+_VLC_K, _VLC_S = _budget(_VLC_C)
+_MEL_K, _MEL_S = _budget(_MEL_C)
+_VLC_G = 4        # staged-refill group sizes (S <= G + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -171,24 +226,24 @@ _MEL_K, _MEL_S = _budget(24)   # 3 symbols x (1 + 5) bits worst
 
 
 def _mel_sym(mst, active):
-    """One MEL symbol for active lanes; registers only."""
+    """One MEL symbol for active lanes; registers only. The hit bit and
+    the (up to 5-bit) run value come from ONE 6-bit peek + one combined
+    drop, and the MSB-first run value is a closed-form 5-bit reverse —
+    half the stream-window traffic of the two-read form."""
     st, k, run, one = mst
     fresh = active & (run == 0) & (one == 0)
     # MEL_E[k] = min(k//3, 3) + max(k-10, 0)  (closed form of the table)
     ev = jnp.minimum(k // 3, 3) + jnp.maximum(k - 10, 0)
-    bit, st = _read(st, jnp.where(fresh, 1, 0), fresh)
-    bit = bit.astype(I32)
+    pk = _peek_only(st, 6).astype(I32)
+    bit = pk & 1
     hit = fresh & (bit == 1)
     miss = fresh & (bit == 0)
-    mv, st = _read(st, jnp.where(miss, ev, 0), miss)
-    mv = mv.astype(I32)
-    # MSB-first run value: bit-reverse the LSB-first read within ev bits
-    mrun = jnp.zeros_like(run)
-    for j in range(5):  # ev <= 5
-        take = miss & (j < ev)
-        mrun = jnp.where(take,
-                         mrun | (((mv >> j) & 1)
-                                 << jnp.maximum(ev - 1 - j, 0)), mrun)
+    mv = (pk >> 1) & ((jnp.int32(1) << ev) - 1)
+    st = _drop(st, jnp.where(miss, 1 + ev, jnp.where(fresh, 1, 0)), fresh)
+    # MSB-first run value: bit-reverse the LSB-first bits within ev
+    r5 = (((mv & 1) << 4) | ((mv & 2) << 2) | (mv & 4)
+          | ((mv >> 2) & 2) | ((mv >> 4) & 1))
+    mrun = r5 >> (5 - ev)
     run = jnp.where(hit, jnp.int32(1) << ev, jnp.where(miss, mrun, run))
     k = jnp.where(hit, jnp.minimum(12, k + 1),
                   jnp.where(miss, jnp.maximum(0, k - 1), k))
@@ -211,9 +266,10 @@ def _cxtvlc(code, context, tbl_split):
     lo = idx & 31
     ar = jnp.asarray(_AR32)[None, :]
     ohh = (hi[:, None] == ar).astype(jnp.float32)
-    tlo, thi = tbl_split
-    rows = ohh @ jnp.asarray(tlo) + 256.0 * (ohh @ jnp.asarray(thi))
-    packed = jnp.sum(jnp.where(lo[:, None] == ar, rows, 0.0), axis=1)
+    rows64 = ohh @ jnp.asarray(tbl_split)          # (N, 64) both bytes
+    sel = lo[:, None] == ar
+    packed = jnp.sum(jnp.where(sel, rows64[:, :32], 0.0), axis=1) \
+        + 256.0 * jnp.sum(jnp.where(sel, rows64[:, 32:], 0.0), axis=1)
     return packed.astype(I32)
 
 
@@ -379,8 +435,10 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
     """
     N = msw.shape[0]
     clamp = min(ms_class, 25)
-    MS_K, MS_S = _budget(8 * clamp)
+    MS_K, MS_S = _budget(2 * 8 * clamp)
+    MS_G = 8 if MS_S <= 9 else 16
     P = -(-qw // 2)
+    P2 = -(-P // 2)
 
     ones = jnp.ones((N,), bool)
     zeros = jnp.zeros((N,), I32)
@@ -394,19 +452,23 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
     mw, mlim = st_init(melw, _MEL_K, mel_lim)
     mst = (mw, zeros, zeros, zeros)
     msst, mslim = st_init(msw, MS_K, ms_lim)
+    vlc_g = group_view(vlcw, _VLC_G)
+    ms_g = group_view(msw, MS_G)
 
     tbl0, tbl1 = _CXT0_NP, _CXT1_NP
+    a1_pairs = jnp.asarray(
+        np.array([2 * p < qw for p in range(2 * P2)]).reshape(P2, 2))
     a2_pairs = jnp.asarray(
-        np.array([2 * p + 1 < qw for p in range(P)]))
-    pair_idx = jnp.arange(P, dtype=I32)
+        np.array([2 * p + 1 < qw for p in range(2 * P2)]).reshape(P2, 2))
+    pair_idx = jnp.arange(2 * P2, dtype=I32).reshape(P2, 2)
 
-    def pair_masks(a2, p, rowact):
+    def pair_masks(a1, a2, p, rowact):
         """Per-lane (quad1 active, quad2 active) for pair index p."""
         if dims is None:
-            a1v = ones if rowact is None else rowact
+            a1v = a1 & (ones if rowact is None else rowact)
             a2v = a2 & (ones if rowact is None else rowact)
             return a1v, a2v
-        a1v = (2 * p) < qws
+        a1v = a1 & ((2 * p) < qws)
         a2v = a2 & ((2 * p + 1) < qws)
         if rowact is not None:
             a1v = a1v & rowact
@@ -414,10 +476,10 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
         return a1v, a2v
 
     def refill(vst, mst, msst):
-        vst = refill_top(vlcw, vst, vlim, _VLC_S)
+        vst = refill_top_staged(vlc_g, vst, vlim, _VLC_S, _VLC_G)
         mwin, mk, mrun, mone = mst
         mwin = refill_top(melw, mwin, mlim, _MEL_S)
-        msst = refill_top(msw, msst, mslim, MS_S)
+        msst = refill_top_staged(ms_g, msst, mslim, MS_S, MS_G)
         return vst, (mwin, mk, mrun, mone), msst
 
     def ctx_first(sp):
@@ -430,13 +492,11 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
         pc = (sp & 1) + ((sp >> 1) & 1) + ((sp >> 2) & 1) + ((sp >> 3) & 1)
         return (pc > 1).astype(I32)
 
-    # ---- initial quad row: scan over pairs, context carried ----
+    # ---- initial quad row: scan over pair-DUOS, context carried ----
     row0act = None if dims is None else (qhs > 0)
 
-    def row0_body(carry, xs):
-        a2, p = xs
-        vst, mst, msst, ok, context = carry
-        a1v, a2v = pair_masks(a2, p, row0act)
+    def row0_pair(st, context, a1v, a2v):
+        vst, mst, msst, ok = st
         r1, sp1, ek1, e11, mst, vst = _sig_emb(mst, vst, tbl0, context,
                                                a1v)
         c2 = ctx_first(sp1)
@@ -451,24 +511,40 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
                                    clamp)
         mu2, ev2, msst = _recover4(msst, U2, sp2, ek2, e12, pLSB, a2v,
                                    clamp)
+        return ((vst, mst, msst, ok), context,
+                [mu1, mu2], [ev1, ev2], [sp1, sp2])
+
+    def row0_body(carry, xs):
+        a1d, a2d, pd = xs
+        vst, mst, msst, ok, context = carry
+        st = (vst, mst, msst, ok)
+        mus, evs, sps = [], [], []
+        for i in range(2):
+            a1v, a2v = pair_masks(a1d[i], a2d[i], pd[i], row0act)
+            st, context, mu_i, ev_i, sp_i = row0_pair(st, context, a1v,
+                                                      a2v)
+            mus += mu_i
+            evs += ev_i
+            sps += sp_i
+        vst, mst, msst, ok = st
         vst, mst, msst = refill(vst, mst, msst)
-        ys = (jnp.concatenate([mu1, mu2], axis=1),
-              jnp.concatenate([ev1, ev2], axis=1),
-              jnp.stack([sp1, sp2], axis=1))
+        ys = (jnp.concatenate(mus, axis=1),
+              jnp.concatenate(evs, axis=1),
+              jnp.stack(sps, axis=1))
         return (vst, mst, msst, ok, context), ys
 
     carry0 = (vst, mst, msst, ones, zeros)
     carry0, (mu0, e0, sp0) = jax.lax.scan(row0_body, carry0,
-                                          (a2_pairs, pair_idx))
+                                          (a1_pairs, a2_pairs, pair_idx))
     vst, mst, msst, ok, _ = carry0
-    mu_row0 = jnp.transpose(mu0, (1, 0, 2)).reshape(N, 8 * P)[:, :4 * qw]
-    e_prev = jnp.transpose(e0, (1, 0, 2)).reshape(N, 8 * P)[:, :4 * qw]
-    sp_prev = jnp.transpose(sp0, (1, 0, 2)).reshape(N, 2 * P)[:, :qw]
+    mu_row0 = jnp.transpose(mu0, (1, 0, 2)).reshape(N, 16 * P2)[:, :4 * qw]
+    e_prev = jnp.transpose(e0, (1, 0, 2)).reshape(N, 16 * P2)[:, :4 * qw]
+    sp_prev = jnp.transpose(sp0, (1, 0, 2)).reshape(N, 4 * P2)[:, :qw]
 
     if qh == 1:
         return mu_row0[:, None, :], sp_prev[:, None, :], ok
 
-    # ---- non-initial rows: outer scan over rows, inner over pairs ----
+    # ---- non-initial rows: outer scan over rows, inner over pair-duos ----
     def row_above_inputs(sp_prev, e_prev):
         """Vectorized ctx-above / kappa-max precompute for one row
         (jpeg2000htdec.c:784-919 neighborhoods; all row-above terms).
@@ -489,51 +565,70 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
         kmax = jnp.maximum(jnp.maximum(eNW, eN), jnp.maximum(eNE, eNF))
         return cA, kmax
 
-    def pad_pairs(a):
-        """(N, qw) -> (P, N, 2) scanned xs."""
-        if a.shape[1] < 2 * P:
+    def pad_quads(a):
+        """(N, qw) per-quad inputs -> (P2, N, 4) scanned xs."""
+        if a.shape[1] < 4 * P2:
             a = jnp.concatenate(
-                [a, jnp.zeros((N, 2 * P - a.shape[1]), a.dtype)], axis=1)
-        return jnp.transpose(a.reshape(N, P, 2), (1, 0, 2))
+                [a, jnp.zeros((N, 4 * P2 - a.shape[1]), a.dtype)], axis=1)
+        return jnp.transpose(a.reshape(N, P2, 4), (1, 0, 2))
 
-    def rowk_pair(carry, xs):
-        vst, mst, msst, ok, wprev, rowact = carry
-        cA, kmax, a2, p = xs
-        a1v, a2v = pair_masks(a2, p, rowact)
-        c1 = cA[:, 0] | (wprev << 1)
+    def rowk_pair(st, wprev, cA2, kmax2, a1v, a2v):
+        vst, mst, msst, ok = st
+        c1 = cA2[:, 0] | (wprev << 1)
         r1, sp1, ek1, e11, mst, vst = _sig_emb(mst, vst, tbl1, c1, a1v)
         w1 = ((sp1 >> 2) | (sp1 >> 3)) & 1
-        c2 = cA[:, 1] | (w1 << 1)
+        c2 = cA2[:, 1] | (w1 << 1)
         r2, sp2, ek2, e12, mst, vst = _sig_emb(mst, vst, tbl1, c2, a2v)
         u1, u2, vst = _u_pair_noninit(vst, r1, r2, a1v, a2v)
-        U1 = jnp.maximum(1, gamma_of(sp1) * (kmax[:, 0] - 1)) + u1
+        U1 = jnp.maximum(1, gamma_of(sp1) * (kmax2[:, 0] - 1)) + u1
         U2 = jnp.where(
-            a2v, jnp.maximum(1, gamma_of(sp2) * (kmax[:, 1] - 1)) + u2, 0)
+            a2v, jnp.maximum(1, gamma_of(sp2) * (kmax2[:, 1] - 1)) + u2, 0)
         ok = ok & (~a1v | (U1 <= maxbp)) & (~a2v | (U2 <= maxbp))
         mu1, ev1, msst = _recover4(msst, U1, sp1, ek1, e11, pLSB, a1v,
                                    clamp)
         mu2, ev2, msst = _recover4(msst, U2, sp2, ek2, e12, pLSB, a2v,
                                    clamp)
-        vst, mst, msst = refill(vst, mst, msst)
         wnext = jnp.where(a2v, ((sp2 >> 2) | (sp2 >> 3)) & 1,
                           jnp.where(a1v, ((sp1 >> 2) | (sp1 >> 3)) & 1,
                                     wprev))
-        ys = (jnp.concatenate([mu1, mu2], axis=1),
-              jnp.concatenate([ev1, ev2], axis=1),
-              jnp.stack([sp1, sp2], axis=1))
-        return (vst, mst, msst, ok, wnext, rowact), ys
+        return ((vst, mst, msst, ok), wnext,
+                [mu1, mu2], [ev1, ev2], [sp1, sp2])
+
+    def rowk_body(carry, xs):
+        vst, mst, msst, ok, wprev, rowact = carry
+        cA4, km4, a1d, a2d, pd = xs
+        st = (vst, mst, msst, ok)
+        mus, evs, sps = [], [], []
+        for i in range(2):
+            a1v, a2v = pair_masks(a1d[i], a2d[i], pd[i], rowact)
+            st, wprev, mu_i, ev_i, sp_i = rowk_pair(
+                st, wprev, cA4[:, 2 * i:2 * i + 2],
+                km4[:, 2 * i:2 * i + 2], a1v, a2v)
+            mus += mu_i
+            evs += ev_i
+            sps += sp_i
+        vst, mst, msst, ok = st
+        vst, mst, msst = refill(vst, mst, msst)
+        ys = (jnp.concatenate(mus, axis=1),
+              jnp.concatenate(evs, axis=1),
+              jnp.stack(sps, axis=1))
+        return (vst, mst, msst, ok, wprev, rowact), ys
 
     def row_body(carry, row):
         vst, mst, msst, ok, sp_prev, e_prev = carry
         rowact = ones if dims is None else (row < qhs)
         cA, kmax = row_above_inputs(sp_prev, e_prev)
-        xs = (pad_pairs(cA), pad_pairs(kmax), a2_pairs, pair_idx)
+        xs = (pad_quads(cA), pad_quads(kmax), a1_pairs, a2_pairs,
+              pair_idx)
         inner = (vst, mst, msst, ok, zeros, rowact)
-        inner, (muk, ek_, spk) = jax.lax.scan(rowk_pair, inner, xs)
+        inner, (muk, ek_, spk) = jax.lax.scan(rowk_body, inner, xs)
         vst, mst, msst, ok, _, _ = inner
-        mu_row = jnp.transpose(muk, (1, 0, 2)).reshape(N, 8 * P)[:, :4 * qw]
-        e_row = jnp.transpose(ek_, (1, 0, 2)).reshape(N, 8 * P)[:, :4 * qw]
-        sp_row = jnp.transpose(spk, (1, 0, 2)).reshape(N, 2 * P)[:, :qw]
+        mu_row = jnp.transpose(muk, (1, 0, 2)).reshape(
+            N, 16 * P2)[:, :4 * qw]
+        e_row = jnp.transpose(ek_, (1, 0, 2)).reshape(
+            N, 16 * P2)[:, :4 * qw]
+        sp_row = jnp.transpose(spk, (1, 0, 2)).reshape(
+            N, 4 * P2)[:, :qw]
         return (vst, mst, msst, ok, sp_row, e_row), (mu_row, sp_row)
 
     carry = (vst, mst, msst, ok, sp_prev, e_prev)
