@@ -210,14 +210,23 @@ def _budget(C: int):
     return S + 2, S
 
 
-# v4 per-SCAN-STEP budgets: one step decodes TWO quad-pairs, so each
-# stream refills once per two pairs (half the refill sweeps) and the
-# scan is half as long.
-_VLC_C = 2 * 38   # per pair: 2 CxtVLC (7+7) + U-pair worst 24
-_MEL_C = 2 * 24   # per pair: 3 symbols x (1 + 5) bits worst
-_VLC_K, _VLC_S = _budget(_VLC_C)
-_MEL_K, _MEL_S = _budget(_MEL_C)
-_VLC_G = 4        # staged-refill group sizes (S <= G + 1)
+# v4 worst-case consumption rates. VLC and MEL windows are provisioned
+# for a WHOLE quad row and refilled once per row (outside the inner
+# duo-step scan): their refill sweeps cost 2*N*W each, so per-row
+# refills cut the scan's HBM traffic ~8x at the price of a larger
+# register window (a _drop shifts K registers, VPU-cheap). MagSgn keeps
+# a per-step window: its per-row budget (8*clamp bits/quad) would need
+# a 60+ word window, where register shifting overtakes the sweep cost.
+_VLC_PAIR_C = 38  # per pair: 2 CxtVLC (7+7) + U-pair worst 24
+_MEL_PAIR_C = 24  # per pair: 3 symbols x (1 + 5) bits worst
+
+
+def _grp(S: int) -> int:
+    """Staged-refill group size for S slots (S <= G + 1, pow2)."""
+    g = 4
+    while g + 1 < S:
+        g *= 2
+    return g
 
 
 # ---------------------------------------------------------------------------
@@ -439,6 +448,12 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
     MS_G = 8 if MS_S <= 9 else 16
     P = -(-qw // 2)
     P2 = -(-P // 2)
+    # Row-level VLC/MEL budgets: the whole row's worst-case consumption
+    # lives in registers, refilled once per row (see constants above).
+    VLC_K, VLC_S = _budget(P * _VLC_PAIR_C)
+    MEL_K, MEL_S = _budget(P * _MEL_PAIR_C)
+    VLC_G = _grp(VLC_S)
+    MEL_G = _grp(MEL_S)
 
     ones = jnp.ones((N,), bool)
     zeros = jnp.zeros((N,), I32)
@@ -448,11 +463,12 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
         qws = jnp.asarray(dims[0], I32)
         qhs = jnp.asarray(dims[1], I32)
 
-    vst, vlim = st_init(vlcw, _VLC_K)
-    mw, mlim = st_init(melw, _MEL_K, mel_lim)
+    vst, vlim = st_init(vlcw, VLC_K)
+    mw, mlim = st_init(melw, MEL_K, mel_lim)
     mst = (mw, zeros, zeros, zeros)
     msst, mslim = st_init(msw, MS_K, ms_lim)
-    vlc_g = group_view(vlcw, _VLC_G)
+    vlc_g = group_view(vlcw, VLC_G)
+    mel_g = group_view(melw, MEL_G)
     ms_g = group_view(msw, MS_G)
 
     tbl0, tbl1 = _CXT0_NP, _CXT1_NP
@@ -475,12 +491,15 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
             a2v = a2v & rowact
         return a1v, a2v
 
-    def refill(vst, mst, msst):
-        vst = refill_top_staged(vlc_g, vst, vlim, _VLC_S, _VLC_G)
+    def refill_ms(msst):
+        return refill_top_staged(ms_g, msst, mslim, MS_S, MS_G)
+
+    def refill_row(vst, mst):
+        """Once-per-row VLC+MEL refill (outside the inner duo scan)."""
+        vst = refill_top_staged(vlc_g, vst, vlim, VLC_S, VLC_G)
         mwin, mk, mrun, mone = mst
-        mwin = refill_top(melw, mwin, mlim, _MEL_S)
-        msst = refill_top_staged(ms_g, msst, mslim, MS_S, MS_G)
-        return vst, (mwin, mk, mrun, mone), msst
+        mwin = refill_top_staged(mel_g, mwin, mlim, MEL_S, MEL_G)
+        return vst, (mwin, mk, mrun, mone)
 
     def ctx_first(sp):
         """Initial-row running context from a quad's sig pattern
@@ -527,7 +546,7 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
             evs += ev_i
             sps += sp_i
         vst, mst, msst, ok = st
-        vst, mst, msst = refill(vst, mst, msst)
+        msst = refill_ms(msst)
         ys = (jnp.concatenate(mus, axis=1),
               jnp.concatenate(evs, axis=1),
               jnp.stack(sps, axis=1))
@@ -608,7 +627,7 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
             evs += ev_i
             sps += sp_i
         vst, mst, msst, ok = st
-        vst, mst, msst = refill(vst, mst, msst)
+        msst = refill_ms(msst)
         ys = (jnp.concatenate(mus, axis=1),
               jnp.concatenate(evs, axis=1),
               jnp.stack(sps, axis=1))
@@ -616,6 +635,7 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
 
     def row_body(carry, row):
         vst, mst, msst, ok, sp_prev, e_prev = carry
+        vst, mst = refill_row(vst, mst)
         rowact = ones if dims is None else (row < qhs)
         cA, kmax = row_above_inputs(sp_prev, e_prev)
         xs = (pad_quads(cA), pad_quads(kmax), a1_pairs, a2_pairs,
