@@ -257,7 +257,9 @@ def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
     import jax
     import jax.numpy as jnp
 
-    from ffmpeg_ht_tpu.ops.dwt_jax import _dwt_decode_traced
+    from ffmpeg_ht_tpu.ops.dwt_jax import (_dwt_decode_traced,
+                                           dwt_decode_bands,
+                                           dwt_poly_capable)
     from ffmpeg_ht_tpu.ops.ht_scan import _cleanup_impl
     from ffmpeg_ht_tpu.ops.mct_pallas import rct_writeframe
 
@@ -267,20 +269,27 @@ def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
     if transform == mk.DWT97_INT and not jax.config.jax_enable_x64:
         raise RuntimeError("DWT97_INT device path requires jax_enable_x64")
 
+    # band-direct inverse DWT: feed the (ll, (hl, lh, hh)...) mosaics
+    # straight into the polyphase lifting, skipping the pyramid concat +
+    # flat-buffer round trip (~100 MB of copies per 4K frame). Falls
+    # back to the flat path when any level is below the polyphase floor.
+    band_direct = all(
+        nd == 0 or dwt_poly_capable(
+            [[b[0][0], b[0][1]], [b[1][0], b[1][1]]], nd)
+        for b, nd in zip(borders, ndecs))
+
     def program(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim, qws, qhs,
                 magb, istep, scale97, fscale, pf_idx, pf_val):
         mu, _sig, ok = _cleanup_impl(
             msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
             qw=qw, qh=qh, ms_class=ms_class, dims=(qws, qhs))
 
-        # quad layout -> raster (cheap transpose; prof: 0.7 ms / 134 MB)
-        NT = mu.shape[0]
-        g = mu.reshape(NT, qh, qw, 2, 2)
-        ras = jnp.transpose(g, (0, 1, 4, 2, 3)).reshape(
-            NT, 2 * qh, 2 * qw)
+        # mu arrives rasterized (N, 2qh, 2qw) straight from the scan
+        # kernel (ht_scan._mu_rows): the old quad->raster transpose
+        # (2-element innermost dim, ~4 ms/4K frame) no longer exists.
 
         # dequant (jpeg2000dec.c:2098-2181) per lane
-        val = ras.astype(jnp.uint32)
+        val = mu.astype(jnp.uint32)
         neg = (val >> 31) == 1
         mag = (val & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
         if transform == mk.DWT97:
@@ -302,32 +311,41 @@ def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
                 coef = jnp.where(istep_b != 32768,
                                  (coef * istep_b) >> 16, coef)
         coef = coef.astype(flat_dtype)
-
-        # assemble per-frame planes (mosaics), flatten into one buffer
-        pieces = []
-        for f in range(frames):
-            off = f * n_pad
-            for plane in plan.planes:
-                p = _compose_plane(coef, plane, off, flat_dtype)
-                pieces.append(p.reshape(-1))
-        flat = jnp.concatenate(pieces + [jnp.zeros(1, flat_dtype)])
+        # materialization boundary: without it XLA tries to fuse the
+        # entropy scan's output into every mosaic slice below and its
+        # fusion analysis explodes (64x64 program: 10+ min compiles)
+        coef = jax.lax.optimization_barrier(coef)
         # host-decoded lanes (long-tail, extreme bitplanes): tiny scatter
-        flat = flat.at[pf_idx].set(pf_val)
+        # into the lane rasters — pf_idx is in lane-raster coordinates
+        # (fastpath.build_v3_frame), pads index OOB and are dropped
+        cflat = coef.reshape(-1).at[pf_idx].set(pf_val, mode="drop")
+        coef = cflat.reshape(coef.shape)
 
         # per-plane DWT (a batched same-geometry variant was measured
         # 2.3 ms/frame SLOWER in the fused program: the stack/unstack
         # copies cost more than the shared schedule saves)
         outs = []
         for f in range(frames):
-            for (poff, ph, pw), border, ndec in zip(planes, borders,
-                                                    ndecs):
-                plane = jax.lax.dynamic_slice(
-                    flat, (f * total + poff,), (ph * pw,))
-                plane = plane.reshape(ph, pw)
-                if ndec > 0:
-                    b = [[border[0][0], border[0][1]],
-                         [border[1][0], border[1][1]]]
-                    plane = _dwt_decode_traced(plane, b, ndec, transform)
+            off = f * n_pad
+            for plane_p, (poff, ph, pw), border, ndec in zip(
+                    plan.planes, planes, borders, ndecs):
+                b = [[border[0][0], border[0][1]],
+                     [border[1][0], border[1][1]]]
+                if band_direct:
+                    ll, lvls = plane_p.levels
+                    plane = _mosaic_band(coef, ll, off, flat_dtype)
+                    if ndec > 0:
+                        lvl_bands = [
+                            tuple(_mosaic_band(coef, bb, off, flat_dtype)
+                                  for bb in lvl) for lvl in lvls]
+                        plane = dwt_decode_bands(plane, lvl_bands, b,
+                                                 ndec, transform)
+                else:
+                    plane = _compose_plane(coef, plane_p, off,
+                                           flat_dtype)
+                    if ndec > 0:
+                        plane = _dwt_decode_traced(plane, b, ndec,
+                                                   transform)
                 outs.append(plane)
 
         interp = jax.default_backend() == "cpu"

@@ -479,11 +479,9 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
 
         for (qw, qh, w, h, _msc, refined), mu, args in zip(
                 bucket_shapes, mus, bucket_args):
-            # Cleanup-only buckets arrive in quad layout (N, qh, 4*qw):
-            # quad (qr, qc) corner i at [:, qr, 4*qc+i] with dy=i&1,
-            # dx=i>>1 — the quad->raster permutation folds into the
-            # scatter's index math. Refined buckets arrive already
-            # rasterized (N, 2qh, 2qw) by the refinement kernel.
+            # Both cleanup-only and refined buckets arrive rasterized
+            # (N, 2qh, 2qw): the scan kernel emits raster row pairs
+            # directly (ht_scan._mu_rows).
             val = mu.astype(jnp.uint32)
             neg = (val >> 31) == 1
             mag = (val & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
@@ -511,15 +509,8 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
                                  (coef * istep) >> 16, coef)
             # scatter into the flat buffer; dest<0 lanes and out-of-block
             # padding samples go to the trash slot
-            if refined:
-                y = jnp.arange(2 * qh, dtype=jnp.int32)[None, :, None]
-                x = jnp.arange(2 * qw, dtype=jnp.int32)[None, None, :]
-            else:
-                qr = jnp.arange(qh, dtype=jnp.int32)[None, :, None]
-                t = jnp.arange(4 * qw, dtype=jnp.int32)[None, None, :]
-                qc = t >> 2
-                y = 2 * qr + (t & 1)
-                x = 2 * qc + ((t >> 1) & 1)
+            y = jnp.arange(2 * qh, dtype=jnp.int32)[None, :, None]
+            x = jnp.arange(2 * qw, dtype=jnp.int32)[None, None, :]
             base = args["dest"][:, None, None]
             stride = args["stride"][:, None, None]
             idx = base + y * stride + x
@@ -809,15 +800,18 @@ class Decoder:
             frames.append(fc)
         args, _F = FP.finish_v3(fg, frames, total)
 
-        # per-shard host-fallback prefill with SHARD-local flat indices
+        # per-shard host-fallback prefill with SHARD-local lane-raster
+        # indices (build_v3_frame emits gi*bh*bw + y*bw + x per frame)
         pdt = np.float32 if fg.geom.transform == mk.DWT97 else np.int32
+        bh_l, bw_l = FP.lane_raster_dims(fg)
+        lane_span = fg.ncblks * bh_l * bw_l
         shard_pf = []
         cap = 16
         for d in range(D):
             pi, pv = [], []
             for lf, fc in enumerate(frames[d * Fl:(d + 1) * Fl]):
                 for (ridx, rval) in fc["host_pf"]:
-                    pi.append(ridx + lf * total)
+                    pi.append(ridx + lf * lane_span)
                     pv.append(rval)
             pi = np.concatenate(pi).astype(np.int32) if pi \
                 else np.zeros(0, np.int32)
@@ -827,7 +821,7 @@ class Decoder:
             while cap < len(pi):
                 cap *= 2
         pf_idx = np.concatenate(
-            [FP._pad(pi, cap, Fl * total) for pi, _ in shard_pf]) \
+            [FP._pad(pi, cap, Fl * lane_span) for pi, _ in shard_pf]) \
             .astype(np.int32)
         pf_val = np.concatenate(
             [FP._pad(pv, cap, 0) for _, pv in shard_pf]).astype(pdt)

@@ -549,13 +549,24 @@ def _pad(a, npad, fill):
 # ---------------------------------------------------------------------------
 
 
+def lane_raster_dims(fg):
+    """(bh, bw) of the merged-bucket lane raster — the per-lane (2qh, 2qw)
+    plane the entropy kernel emits. Must match assembly.build_plan."""
+    bw = 2 * (-(-int(fg.w.max()) // 2)) if fg.ncblks else 2
+    bh = 2 * (-(-int(fg.h.max()) // 2)) if fg.ncblks else 2
+    return bh, bw
+
+
 def build_v3_frame(fg, cols):
     """Per-frame v3 lane columns, or None if the frame needs v2.
 
     Returns dict(data, lcups, pcups, qws, qhs, pLSB, maxbp, host_pf)
     with data an (N, Lmax) modDcup'ed byte matrix (device lanes only;
-    host/inert lanes zero) and host_pf a list of (flat_idx, values)
-    numpy pairs from the scalar-oracle fallback lanes."""
+    host/inert lanes zero) and host_pf a list of (idx, values) numpy
+    pairs from the scalar-oracle fallback lanes, indexed in LANE-RASTER
+    coordinates (gi * bh * bw + y * bw + x): the fused program scatters
+    them into the dequantized lane rasters before the band mosaics, so
+    host lanes ride the same scatter-free assembly as device lanes."""
     N = fg.ncblks
     body = np.frombuffer(cols["body"], np.uint8)
     act = cols["active"]
@@ -614,6 +625,7 @@ def build_v3_frame(fg, cols):
         from ffmpeg_ht_tpu.ops import dequant as dq
         from ffmpeg_ht_tpu.ops import ht_dec
         tf = fg.geom.transform
+        bh, bw = lane_raster_dims(fg)
         for gi in np.nonzero(host)[0]:
             dat = cols["body"][cols["off"][gi]:
                                cols["off"][gi] + cols["len"][gi]]
@@ -631,9 +643,8 @@ def build_v3_frame(fg, cols):
             else:
                 blk = dq.dequant_int(t1, int(fg.istep[gi]),
                                      int(fg.magb[gi]))
-            rows = (int(fg.dest[gi])
-                    + np.arange(int(fg.h[gi]))[:, None]
-                    * int(fg.stride[gi])
+            rows = (int(gi) * (bh * bw)
+                    + np.arange(int(fg.h[gi]))[:, None] * bw
                     + np.arange(int(fg.w[gi]))[None, :])
             host_pf.append((rows.ravel(), np.asarray(blk).ravel()))
     return dict(data=data, lcups=lcups, pcups=pcups, qws=qws, qhs=qhs,
@@ -666,10 +677,12 @@ def finish_v3(fg, frames_cols, total):
         return np.concatenate([fc[key] for fc in frames_cols]) \
             .astype(dtype)
 
+    bh, bw = lane_raster_dims(fg)
+    lane_span = N * bh * bw                 # one frame's lane-raster size
     pf_i, pf_v = [], []
     for f, fc in enumerate(frames_cols):
         for (ridx, rval) in fc["host_pf"]:
-            pf_i.append(ridx + f * total)
+            pf_i.append(ridx + f * lane_span)
             pf_v.append(rval)
     pdt = np.float32 if fg.geom.transform == mk.DWT97 else np.int32
     if pf_i:
@@ -678,12 +691,12 @@ def finish_v3(fg, frames_cols, total):
     else:
         pf_idx = np.zeros(0, np.int32)
         pf_val = np.zeros(0, pdt)
-    # pad to a pow2 class so the executable is reused; pads hit the
-    # trailing trash slot of the frame-flat buffer
+    # pad to a pow2 class so the executable is reused; pads index past
+    # the lane rasters and are dropped by the scatter's OOB mode
     cap = 16
     while cap < len(pf_idx):
         cap *= 2
-    pf_idx = _pad(pf_idx, cap, F * total).astype(np.int32)
+    pf_idx = _pad(pf_idx, cap, F * lane_span).astype(np.int32)
     pf_val = _pad(pf_val, cap, 0).astype(pdt)
 
     tile = lambda a, dtype: np.tile(np.asarray(a), F).astype(dtype)

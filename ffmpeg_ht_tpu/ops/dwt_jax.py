@@ -327,6 +327,38 @@ def dwt_decode_batched(data, border, ndeclevels: int, dwt_type: int):
     return data
 
 
+def dwt_decode_bands(ll, levels, border, ndeclevels: int, dwt_type: int):
+    """Inverse DWT fed by subband arrays directly (polyphase path only).
+
+    ll: the level-0 lowband; levels: [(hl, lh, hh), ...] low-to-high
+    resolution. Bit-identical to assembling the quadrant pyramid and
+    running _dwt_decode_traced — horizontal lifting is row-independent,
+    so it distributes over the top (LL|HL) and bottom (LH|HH) row blocks
+    and the quadrants feed sr_poly directly, skipping the pyramid
+    concat + re-slice round trip (~100 MB of copies per 4K frame).
+    Requires dwt_poly_capable(border, ndeclevels).
+    """
+    if dwt_type == DWT97_INT and not jax.config.jax_enable_x64:
+        raise RuntimeError("DWT97_INT on device requires jax_enable_x64")
+    linelen, mod = dwt_levels(border, ndeclevels)
+    sr_poly = _POLY_SR[dwt_type]
+    p = ll
+    for lev in range(ndeclevels):
+        lh, lv = linelen[lev][0], linelen[lev][1]
+        mh, mv = mod[lev][0], mod[lev][1]
+        hl, lhb, hh = levels[lev]
+        E, O = sr_poly(p, hl, mh, mh + lh, axis=1)
+        top = _poly_interleave(E, O, mh, mh + lh, axis=1)
+        E, O = sr_poly(lhb, hh, mh, mh + lh, axis=1)
+        bot = _poly_interleave(E, O, mh, mh + lh, axis=1)
+        E, O = sr_poly(top, bot, mv, mv + lv, axis=0)
+        p = _poly_interleave(E, O, mv, mv + lv, axis=0)
+    if dwt_type == DWT97_INT:
+        v = p.astype(jnp.int64)
+        p = ((v + ((1 << I_PRESHIFT) >> 1)) >> I_PRESHIFT).astype(jnp.int32)
+    return p
+
+
 def _dwt_decode_traced(data: jnp.ndarray, border, ndeclevels: int,
                        dwt_type: int) -> jnp.ndarray:
     if dwt_type == DWT97_INT and not jax.config.jax_enable_x64:

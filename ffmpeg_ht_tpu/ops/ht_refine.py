@@ -75,7 +75,7 @@ def decode_refinement_scan(mu, sig, spw, mrw, pLSB, has_sp, has_mr,
                            qw: int, qh: int, w: int, h: int):
     """Apply SigProp (+MagRef) to cleanup output, in lockstep over N lanes.
 
-    mu: uint32 (N, qh, 4*qw) cleanup samples in quad layout; sig: int32
+    mu: uint32 (N, 2qh, 2qw) cleanup samples in raster layout; sig: int32
     (N, qh, qw) quad significance patterns (both from
     ht_scan.decode_cleanup_scan_sig). spw/mrw: densified Dref streams
     (ht_batch.prepare_refinement_streams). pLSB: the *cleanup* pLSB per
@@ -94,7 +94,7 @@ def decode_refinement_scan(mu, sig, spw, mrw, pLSB, has_sp, has_mr,
     H, W = 2 * qh, 2 * qw
     pL = jnp.asarray(pLSB, I32) - 1
 
-    ras = _rasterize(mu.astype(U32), qh, qw)
+    ras = mu.astype(U32)
     sig_s = ((sig[..., None].astype(I32) >> jnp.arange(4, dtype=I32)) & 1)
     sigp = _rasterize(sig_s.reshape(N, qh, 4 * qw), qh, qw)
     # oracle writeback zeroes quad pads in both samples and sigma

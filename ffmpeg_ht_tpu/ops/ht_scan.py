@@ -399,6 +399,10 @@ def _bitlen32(v):
 
 
 def _recover4(msst, U, sp, ek, e1, pLSB, active, clamp: int):
+    """Returns (mus list of 4 (N,) registers in corner order, es (N, 4)
+    stacked exponents, msst). mus stay unstacked so the scan bodies can
+    emit them in raster-row order (see the ys layout note in
+    _cleanup_impl)."""
     mus, es = [], []
     for i in range(4):
         sig = (sp >> i) & 1
@@ -414,7 +418,24 @@ def _recover4(msst, U, sp, ek, e1, pLSB, active, clamp: int):
             | ((v & 1) << 31)
         mus.append(jnp.where(do, val, jnp.uint32(0)))
         es.append(jnp.where(do, e_n, 0))
-    return jnp.stack(mus, axis=1), jnp.stack(es, axis=1), msst
+    return mus, jnp.stack(es, axis=1), msst
+
+
+def _mu_rows(quads):
+    """Stack 4 quads' corner registers as [top8 | bot8] rows (N, 16).
+
+    Corner i of a quad has dy = i & 1, dx = i >> 1, so the even raster
+    row is corners (0, 2) of each quad left-to-right and the odd row is
+    corners (1, 3). Stacking registers here (inside the scan body) is
+    VPU-free compared to transposing the (N, qh, qw, 2, 2) quad tensor
+    after the fact, whose 2-element innermost dim defeats XLA tiling
+    (profiled at ~4 ms/4K-frame on the bench TPU). The ys stay 2-D
+    (N, 16) — 3-D per-step ys sent the XLA CPU backend's compile time
+    from ~60 s to 15+ min even at qw=8 (TPU was fine); the top/bot
+    halves are sliced apart after the scan instead."""
+    top = jnp.stack([q[i] for q in quads for i in (0, 2)], axis=1)
+    bot = jnp.stack([q[i] for q in quads for i in (1, 3)], axis=1)
+    return jnp.concatenate([top, bot], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -436,11 +457,11 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
     static a2 edge masking), so codeblocks of different shapes share one
     bucket. A lane with qws == 0 is inert (emits zeros, reads nothing).
 
-    Returns (mu, sig, ok): mu uint32 (N, qh, 4*qw) in quad layout (quad
-    (qr,qc) corner i at [:, qr, 4*qc+i], dy=i&1, dx=i>>1), sig int32
-    (N, qh, qw) 4-bit significance patterns per quad (needed by the
-    refinement kernel: sigma can be set where mu stays 0 when m_n == 0,
-    jpeg2000htdec.c:415-426), ok (N,) bool.
+    Returns (mu, sig, ok): mu uint32 (N, 2*qh, 2*qw) RASTER layout (the
+    scan emits row pairs directly via _mu_rows, so no post-hoc quad
+    transpose exists), sig int32 (N, qh, qw) 4-bit significance patterns
+    per quad (needed by the refinement kernel: sigma can be set where mu
+    stays 0 when m_n == 0, jpeg2000htdec.c:415-426), ok (N,) bool.
     """
     N = msw.shape[0]
     clamp = min(ms_class, 25)
@@ -547,21 +568,34 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
             sps += sp_i
         vst, mst, msst, ok = st
         msst = refill_ms(msst)
-        ys = (jnp.concatenate(mus, axis=1),
+        ys = (_mu_rows(mus),
               jnp.concatenate(evs, axis=1),
               jnp.stack(sps, axis=1))
         return (vst, mst, msst, ok, context), ys
+
+    def split_mu_rows(muk):
+        """(P2, N, 16) per-step [top8|bot8] ys -> (N, 4*qw) [top|bot].
+
+        Stays 2-D: the row pair is interleaved once at the end (or in
+        the qh == 1 epilogue) — scan ys above rank 2 stall the XLA CPU
+        backend's compiler (see _mu_rows)."""
+        top = jnp.transpose(muk[:, :, :8], (1, 0, 2)).reshape(
+            N, 8 * P2)[:, :2 * qw]
+        bot = jnp.transpose(muk[:, :, 8:], (1, 0, 2)).reshape(
+            N, 8 * P2)[:, :2 * qw]
+        return jnp.concatenate([top, bot], axis=1)
 
     carry0 = (vst, mst, msst, ones, zeros)
     carry0, (mu0, e0, sp0) = jax.lax.scan(row0_body, carry0,
                                           (a1_pairs, a2_pairs, pair_idx))
     vst, mst, msst, ok, _ = carry0
-    mu_row0 = jnp.transpose(mu0, (1, 0, 2)).reshape(N, 16 * P2)[:, :4 * qw]
+    mu_row0 = split_mu_rows(mu0)
     e_prev = jnp.transpose(e0, (1, 0, 2)).reshape(N, 16 * P2)[:, :4 * qw]
     sp_prev = jnp.transpose(sp0, (1, 0, 2)).reshape(N, 4 * P2)[:, :qw]
 
     if qh == 1:
-        return mu_row0[:, None, :], sp_prev[:, None, :], ok
+        mu = mu_row0.reshape(N, 2, 2 * qw)
+        return mu, sp_prev[:, None, :], ok
 
     # ---- non-initial rows: outer scan over rows, inner over pair-duos ----
     def row_above_inputs(sp_prev, e_prev):
@@ -628,7 +662,7 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
             sps += sp_i
         vst, mst, msst, ok = st
         msst = refill_ms(msst)
-        ys = (jnp.concatenate(mus, axis=1),
+        ys = (_mu_rows(mus),
               jnp.concatenate(evs, axis=1),
               jnp.stack(sps, axis=1))
         return (vst, mst, msst, ok, wprev, rowact), ys
@@ -643,8 +677,7 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
         inner = (vst, mst, msst, ok, zeros, rowact)
         inner, (muk, ek_, spk) = jax.lax.scan(rowk_body, inner, xs)
         vst, mst, msst, ok, _, _ = inner
-        mu_row = jnp.transpose(muk, (1, 0, 2)).reshape(
-            N, 16 * P2)[:, :4 * qw]
+        mu_row = split_mu_rows(muk)
         e_row = jnp.transpose(ek_, (1, 0, 2)).reshape(
             N, 16 * P2)[:, :4 * qw]
         sp_row = jnp.transpose(spk, (1, 0, 2)).reshape(
@@ -655,9 +688,12 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
     carry, (mu_rows, sp_rows) = jax.lax.scan(row_body, carry,
                                              jnp.arange(1, qh, dtype=I32))
     ok = carry[3]
-    mu = jnp.concatenate([mu_row0[None], mu_rows], axis=0)   # (qh, N, 4qw)
+    mu = jnp.concatenate([mu_row0[None], mu_rows], axis=0)  # (qh, N, 4qw)
     sp = jnp.concatenate([sp_prev[None], sp_rows], axis=0)   # (qh, N, qw)
-    return (jnp.transpose(mu, (1, 0, 2)), jnp.transpose(sp, (1, 0, 2)), ok)
+    # (qh, N, [top|bot]) -> (N, 2*qh, 2*qw): one interleave at the end
+    mu = jnp.transpose(mu, (1, 0, 2)).reshape(N, qh, 2, 2 * qw) \
+        .reshape(N, 2 * qh, 2 * qw)
+    return (mu, jnp.transpose(sp, (1, 0, 2)), ok)
 
 
 @functools.partial(jax.jit, static_argnames=("qw", "qh", "ms_class"))
@@ -694,14 +730,6 @@ def decode_cleanup_scan_dims(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
 # ---------------------------------------------------------------------------
 
 
-def quad_to_raster(mu_np: np.ndarray) -> np.ndarray:
-    """Host view of the quad layout (N, qh, 4*qw) as (N, 2*qh, 2*qw)."""
-    n, qh, qw4 = mu_np.shape
-    qw = qw4 // 4
-    grid = mu_np.reshape(n, qh, qw, 2, 2)
-    return grid.transpose(0, 1, 4, 2, 3).reshape(n, 2 * qh, 2 * qw)
-
-
 def decode_cleanup_bucket(data, lcup, pcup, pLSB, maxbp, qw, qh):
     """Byte-row front-end for tests: prepares streams on host (numpy),
     runs the scan kernel, rasterizes on host. Returns ((N, 2qh, 2qw), ok)."""
@@ -719,4 +747,4 @@ def decode_cleanup_bucket(data, lcup, pcup, pLSB, maxbp, qw, qh):
         jnp.asarray(pLSB), jnp.asarray(maxbp),
         jnp.asarray(ms_lim), jnp.asarray(mel_lim),
         qw=int(qw), qh=int(qh), ms_class=ms_class)
-    return quad_to_raster(np.asarray(mu)), ok
+    return np.asarray(mu), ok

@@ -108,3 +108,46 @@ def test_graft_entry_compiles():
 def test_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("dwt_type", [D.DWT53, D.DWT97_INT, D.DWT97])
+def test_bands_matches_traced(dwt_type):
+    """dwt_decode_bands (subband-direct polyphase, the v3 fused-program
+    DWT stage) must be bit-identical to assembling the quadrant pyramid
+    and running _dwt_decode_traced over it (same lifting ops in the same
+    per-element order, only the slicing differs)."""
+    import jax.numpy as jnp
+
+    from ffmpeg_ht_tpu.ops.dwt_jax import (_dwt_decode_traced,
+                                           dwt_decode_bands,
+                                           dwt_poly_capable)
+
+    rng = np.random.default_rng(31 + dwt_type)
+    done = 0
+    while done < 6:
+        border, ndecl, data = _rand_case(rng, 120)
+        ndecl = max(ndecl, 1)
+        if not dwt_poly_capable(border, ndecl):
+            continue
+        done += 1
+        if dwt_type == D.DWT97:
+            data = (data / 16.0).astype(np.float32)
+        b = ((border[0][0], border[0][1]), (border[1][0], border[1][1]))
+        ref = np.asarray(_dwt_decode_traced(jnp.asarray(data), b, ndecl,
+                                            dwt_type))
+        # carve the subbands out of the pyramid layout
+        linelen, mod = D.dwt_levels(border, ndecl)
+        levels = []
+        for lev in range(ndecl):
+            lh, lv = linelen[lev][0], linelen[lev][1]
+            mh, mv = mod[lev][0], mod[lev][1]
+            nLh = len(range(mh, lh, 2))
+            nLv = len(range(mv, lv, 2))
+            hl = jnp.asarray(data[:nLv, nLh:lh])
+            lhb = jnp.asarray(data[nLv:lv, :nLh])
+            hh = jnp.asarray(data[nLv:lv, nLh:lh])
+            if lev == 0:
+                ll = jnp.asarray(data[:nLv, :nLh])
+            levels.append((hl, lhb, hh))
+        out = np.asarray(dwt_decode_bands(ll, levels, b, ndecl, dwt_type))
+        assert np.array_equal(out, ref), (dwt_type, border, ndecl)

@@ -15,8 +15,7 @@ jnp = pytest.importorskip("jax.numpy")
 from ffmpeg_ht_tpu.ops.ht_batch import prepare_streams_batch, stream_limits
 from ffmpeg_ht_tpu.ops.ht_dec import decode_htj2k
 from ffmpeg_ht_tpu.ops.ht_enc import encode_cleanup
-from ffmpeg_ht_tpu.ops.ht_scan import decode_cleanup_scan_dims, \
-    quad_to_raster
+from ffmpeg_ht_tpu.ops.ht_scan import decode_cleanup_scan_dims
 
 RNG = np.random.default_rng(4242)
 MAGB = 8
@@ -71,7 +70,7 @@ def test_dims_bucket_vs_oracle():
         jnp.asarray(qws), jnp.asarray(qhs),
         qw=qw, qh=qh, ms_class=min(ZBP + 1, 25))
     assert bool(np.asarray(ok).all())
-    ras = quad_to_raster(np.asarray(mu))
+    ras = np.asarray(mu)
     for i, b in enumerate(blocks):
         if b is None:
             assert not ras[i].any(), f"inert lane {i} not silent"

@@ -61,8 +61,7 @@ def bench_entropy():
 
     mu, ok = decode_cleanup_scan(msw, melw, vlcw, pLSB, maxbp,
                                  ms_lim, mel_lim, qw=16, qh=16, ms_class=8)
-    from ffmpeg_ht_tpu.ops.ht_scan import quad_to_raster
-    ras = quad_to_raster(np.asarray(mu))
+    ras = np.asarray(mu)
     exact = all(np.array_equal(
         ras[i].astype(np.int64) & 0xFFFFFFFF,
         expects[i].astype(np.int64) & 0xFFFFFFFF) for i in range(N))
