@@ -101,6 +101,7 @@ class _Bucket:
     stride: List[int] = field(default_factory=list)  # plane row stride
     dref: List[tuple] = field(default_factory=list)  # (Dref bytes, lref)
     zblk: List[int] = field(default_factory=list)    # 1..3 HT passes
+    causal: List[int] = field(default_factory=list)  # CBLK_VSC per lane
 
     @property
     def refined(self) -> bool:
@@ -190,13 +191,10 @@ def _build_batch(hdr, tiles: List[Tile]):
                             zbp_eff = cblk.zbp + num_plhd // 3
                             causal = bool(cblk.modes & mk.CBLK_VSC)
                             if w * h < _HOST_AREA \
-                                    or zbp_eff + 1 > 25 \
-                                    or (z_blk > 1 and causal):
-                                # tiny edge slivers, extreme-bitplane
+                                    or zbp_eff + 1 > 25:
+                                # tiny edge slivers and extreme-bitplane
                                 # blocks (the kernel's MagSgn reads cap
-                                # at 25 bits/sample), and HT-causal
-                                # refinement (rare; the device SigProp
-                                # kernel doesn't model causal_cond):
+                                # at 25 bits/sample):
                                 # scalar host decode into the prefill
                                 from ffmpeg_ht_tpu.ops import dequant as dq
                                 from ffmpeg_ht_tpu.ops import ht_dec
@@ -258,6 +256,7 @@ def _build_batch(hdr, tiles: List[Tile]):
                             b.dest.append(dest)
                             b.stride.append(pstride)
                             b.zblk.append(z_blk)
+                            b.causal.append(int(causal))
                             if z_blk > 1:
                                 lref = cblk.pass_lengths[1]
                                 b.dref.append(
@@ -372,6 +371,7 @@ def _bucket_arrays(b: _Bucket):
             mrw=prepare_magref_stream(dmr, lmr),
             has_sp=vec([z >= 2 for z in b.zblk], 0, bool),
             has_mr=vec([z >= 3 for z in b.zblk], 0, bool),
+            causal=vec(b.causal, 0, bool),
         )
 
     return dict(
@@ -440,7 +440,8 @@ def _entropy_stage(shapes, bucket_args):
                 qw=qw, qh=qh, ms_class=ms_class)
             mu = decode_refinement_scan(
                 mu, sig, args["spw"], args["mrw"], args["pLSB"],
-                args["has_sp"], args["has_mr"], qw=qw, qh=qh, w=w, h=h)
+                args["has_sp"], args["has_mr"], args["causal"],
+                qw=qw, qh=qh, w=w, h=h)
         else:
             mu, ok = decode_cleanup_scan(
                 args["msw"], args["melw"], args["vlcw"], args["pLSB"],
@@ -733,7 +734,7 @@ class Decoder:
                 m = merged.setdefault(key, _Bucket(b.w, b.h))
                 for fld in ("rows", "lcup", "pcup", "pLSB", "maxbp", "magb",
                             "istep", "scale97", "fscale", "stride",
-                            "dref", "zblk"):
+                            "dref", "zblk", "causal"):
                     getattr(m, fld).extend(getattr(b, fld))
                 m.dest.extend(d + f * total for d in b.dest)
         prefill = np.concatenate([p[:-1] for p in prefills]

@@ -95,6 +95,12 @@ class EncoderConfig:
                            # ht_plhd branch) test-vector source
     mct: bool = False      # component transform (RCT if pred=1, ICT if 0);
                            # HT encoder only (j2kenc never signals MCT)
+    causal: bool = False   # vertically stripe-causal contexts (SPcod
+                           # style bit 0x08, CBLK_VSC): SigProp encodes
+                           # without below-stripe MBR terms — the vector
+                           # source for the decoder's causal_cond path
+                           # (jpeg2000htdec.c:1034-1077). Needs
+                           # refinement=True to matter.
     ht_mixed: bool = False  # HT MIXED set (Ccap15 bits 14-15 = 3, SPcod
                            # style 0xC0): alternate codeblocks between the
                            # HT Cleanup coder and the legacy T.800 MQ
@@ -463,8 +469,9 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
         nreslevels=cfg.nreslevels, nreslevels2decode=cfg.nreslevels,
         log2_cblk_width=cfg.log2_cblk_width,
         log2_cblk_height=cfg.log2_cblk_height,
-        cblk_style=(mk.CTSY_HTJ2K_F | mk.HT_MIXED) if cfg.ht_mixed
-        else mk.CTSY_HTJ2K_F, mct=1 if use_mct else 0,
+        cblk_style=((mk.CTSY_HTJ2K_F | mk.HT_MIXED) if cfg.ht_mixed
+                    else mk.CTSY_HTJ2K_F)
+        | (mk.CBLK_VSC if cfg.causal else 0), mct=1 if use_mct else 0,
         transform=mk.DWT97_INT if lossy else mk.DWT53, init=True)
     if cfg.log2_prec_width:
         codsty.log2_prec_widths = [cfg.log2_prec_width] * mk.MAX_RESLEVELS
@@ -638,7 +645,8 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                             enc3 = None
                             if refinement and magb >= 2:
                                 enc3 = ht_enc.encode_block_3pass(
-                                    mag, sign, magb - 2)
+                                    mag, sign, magb - 2,
+                                    is_causal=int(cfg.causal))
                             if enc3 is not None:
                                 # Cleanup + SigProp + MagRef (z_blk = 3)
                                 data3, lcup, lref = enc3

@@ -519,7 +519,9 @@ def finish_buckets(accum, total):
                 spw=prepare_sigprop_stream(dsp, lsp),
                 mrw=prepare_magref_stream(dmr, lmr),
                 has_sp=(zblk_all >= 2)[:npad].astype(bool),
-                has_mr=(zblk_all >= 3)[:npad].astype(bool))
+                has_mr=(zblk_all >= 3)[:npad].astype(bool),
+                # fast_profile admits CTSY_HTJ2K_F only, never VSC
+                causal=np.zeros(npad, bool))
         mb = int(zbp.max()) + 1 if n else 8
         ms_class = next(c for c in (8, 12, 16, 20, 25) if mb <= c)
         shapes.append((-(-w // 2), -(-h // 2), w, h, ms_class, refined))

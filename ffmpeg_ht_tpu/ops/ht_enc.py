@@ -606,7 +606,8 @@ def encode_magref(mr: RevPacker, width, height, stride, bs, mag) -> None:
                 mr.bit(int(mag[i, j]) & 1)
 
 
-def encode_block_3pass(mag: np.ndarray, sign: np.ndarray, zbp: int):
+def encode_block_3pass(mag: np.ndarray, sign: np.ndarray, zbp: int,
+                       is_causal: int = 0):
     """Encode one code-block as Cleanup + SigProp + MagRef (z_blk = 3).
 
     The cleanup pass carries |c| >> 1 (all magnitude planes but the
@@ -634,7 +635,8 @@ def encode_block_3pass(mag: np.ndarray, sign: np.ndarray, zbp: int):
         bytes(buf), lcup, lcup - scup, pLSB, width, height, zbp + 1)
 
     sp = MagSgnPacker()
-    encode_sigprop(sp, width, height, stride, sample_buf, bs, mag, sign)
+    encode_sigprop(sp, width, height, stride, sample_buf, bs, mag, sign,
+                   is_causal)
 
     # SigProp can only signal samples inside the MBR neighborhood of the
     # cleanup significance map (jpeg2000htdec.c:1016-1032). An isolated

@@ -72,7 +72,7 @@ def _unrasterize(ras, qh: int, qw: int):
 
 @functools.partial(jax.jit, static_argnames=("qw", "qh", "w", "h"))
 def decode_refinement_scan(mu, sig, spw, mrw, pLSB, has_sp, has_mr,
-                           qw: int, qh: int, w: int, h: int):
+                           causal, qw: int, qh: int, w: int, h: int):
     """Apply SigProp (+MagRef) to cleanup output, in lockstep over N lanes.
 
     mu: uint32 (N, 2qh, 2qw) cleanup samples in raster layout; sig: int32
@@ -85,7 +85,14 @@ def decode_refinement_scan(mu, sig, spw, mrw, pLSB, has_sp, has_mr,
     (quad-grid pads beyond them are zeroed exactly like the oracle's
     raster writeback, ht_dec.py:473-487).
 
-    HT-causal streams are not handled here (decoder routes them to host).
+    causal: per-lane bool, the codeblock's vertically-stripe-causal mode
+    (COD style bit CBLK_VSC). The reference masks every row-below term of
+    the MBR neighborhood on each stripe's LAST row (`causal_cond`,
+    jpeg2000htdec.c:1034-1077). In this scan-ordered formulation the
+    dynamic below term (below-left REF) is already zero on stripe-last
+    rows — the below-left sample belongs to the *next* stripe, not yet
+    scanned — so causal reduces to masking the static below-row sigma OR
+    (`below3`) on stripe-last rows.
 
     Returns the refined samples as a raster uint32 (N, 2qh, 2qw) array
     with pad samples zero.
@@ -161,7 +168,13 @@ def decode_refinement_scan(mu, sig, spw, mrw, pLSB, has_sp, has_mr,
     or5 = (shift(-1, -1) | shift(-1, 0) | shift(-1, 1)
            | shift(0, -1) | shift(0, 1))
     below3 = shift(1, -1) | shift(1, 0) | shift(1, 1)
-    so_full = or5 | below3
+    # causal (VSC): drop the below-row sigma term on stripe-last rows
+    # (rows 3 mod 4, plus the remainder stripe's last row h-1)
+    rows = jnp.arange(H)
+    strip_last = ((rows & 3) == 3) | (rows == (h - 1))
+    below_on = ~(jnp.asarray(causal, bool)[:, None, None]
+                 & strip_last[None, :, None])
+    so_full = or5 | jnp.where(below_on, below3, 0)
 
     # per-block column validity (the W % 4 edge block processes fewer
     # columns, ht_dec.py:548-560); same for every lane, static

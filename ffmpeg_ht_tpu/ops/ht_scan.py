@@ -389,13 +389,19 @@ def _u_pair_noninit(vst, r1, r2, a1, a2):
 
 
 def _bitlen32(v):
+    """bitlen for v < 2**26 (MagSgn values: <= 25 payload bits + known-1
+    MSB) via the f32 exponent field, split in two 12/14-bit pieces so
+    each int->f32 conversion is exact (a single-piece conversion would
+    round 25-bit values across power-of-two boundaries). ~half the VPU
+    ops of the 5-step binary ladder this replaces."""
     v = v.astype(U32)
-    n = jnp.zeros(v.shape, I32)
-    for shift in (16, 8, 4, 2, 1):
-        big = v >= (jnp.uint32(1) << shift)
-        n = n + jnp.where(big, shift, 0)
-        v = jnp.where(big, v >> shift, v)
-    return n + jnp.where(v > 0, 1, 0)
+    lo = (v & jnp.uint32(0xFFF)).astype(jnp.float32)
+    hi = (v >> 12).astype(jnp.float32)
+    bl_lo = (jax.lax.bitcast_convert_type(lo, I32) >> 23) - 126
+    bl_hi = (jax.lax.bitcast_convert_type(hi, I32) >> 23) - 126 + 12
+    # a zero piece bitcasts to exponent 0 -> large negative; max() with
+    # the other piece and 0 discards it
+    return jnp.maximum(jnp.maximum(bl_lo, bl_hi), 0)
 
 
 def _recover4(msst, U, sp, ek, e1, pLSB, active, clamp: int):
@@ -444,7 +450,8 @@ def _mu_rows(quads):
 
 
 def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
-                  qw: int, qh: int, ms_class: int, dims=None):
+                  qw: int, qh: int, ms_class: int, dims=None,
+                  unroll: int = 1):
     """Decode N codeblocks' cleanup segments in lockstep (v2).
 
     msw/melw/vlcw: uint32 (N, W) dense bit streams (ht_batch.prepare_streams
@@ -587,7 +594,8 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
 
     carry0 = (vst, mst, msst, ones, zeros)
     carry0, (mu0, e0, sp0) = jax.lax.scan(row0_body, carry0,
-                                          (a1_pairs, a2_pairs, pair_idx))
+                                          (a1_pairs, a2_pairs, pair_idx),
+                                          unroll=unroll)
     vst, mst, msst, ok, _ = carry0
     mu_row0 = split_mu_rows(mu0)
     e_prev = jnp.transpose(e0, (1, 0, 2)).reshape(N, 16 * P2)[:, :4 * qw]
@@ -675,7 +683,8 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
         xs = (pad_quads(cA), pad_quads(kmax), a1_pairs, a2_pairs,
               pair_idx)
         inner = (vst, mst, msst, ok, zeros, rowact)
-        inner, (muk, ek_, spk) = jax.lax.scan(rowk_body, inner, xs)
+        inner, (muk, ek_, spk) = jax.lax.scan(rowk_body, inner, xs,
+                                              unroll=unroll)
         vst, mst, msst, ok, _, _ = inner
         mu_row = split_mu_rows(muk)
         e_row = jnp.transpose(ek_, (1, 0, 2)).reshape(

@@ -196,6 +196,26 @@ def test_ht_3pass_frame_both_decoders(ffmpeg):
                                    "-flags", "+bitexact") == img.tobytes()
 
 
+def test_ht_causal_frame_both_decoders(ffmpeg, monkeypatch):
+    """Vertically stripe-causal (SPcod 0x08) 3-pass stream: lossless
+    through our device decoder (refinement kernel causal path, no host
+    fallback for full-size blocks) and bit-exact in the reference
+    decoder's causal_cond path (jpeg2000htdec.c:1034-1077)."""
+    from ffmpeg_ht_tpu.models.decoder import Decoder, _HOST_AREA
+    from ffmpeg_ht_tpu.ops import ht_dec
+    img = RNG.integers(0, 256, (64, 64), dtype=np.uint8)
+    data = encode_frame_htj2k(img, refinement=True, causal=True)
+    calls = []
+    orig = ht_dec.decode_htj2k
+    monkeypatch.setattr(ht_dec, "decode_htj2k",
+                        lambda *a, **k: calls.append(a) or orig(*a, **k))
+    assert Decoder().decode(data).tobytes() == img.tobytes()
+    big = [a for a in calls if a[4] * a[5] >= _HOST_AREA]
+    assert not big, f"causal blocks fell back to the host oracle: {big}"
+    assert ffmpeg_decode_raw_bytes(ffmpeg, data, ".j2k",
+                                   "-flags", "+bitexact") == img.tobytes()
+
+
 def test_ht_3pass_device_path(ffmpeg, monkeypatch):
     """3-pass blocks decode through the device refinement kernel — the
     host oracle must not run at all for full-size blocks."""

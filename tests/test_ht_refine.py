@@ -24,7 +24,7 @@ MAGB = 8
 ZBP = MAGB - 2
 
 
-def _run_bucket(blocks, w, h):
+def _run_bucket(blocks, w, h, causal=False):
     """blocks: list of (data, lcup, lref, npasses) -> (N, h, w) uint32."""
     n = len(blocks)
     qw, qh = -(-w // 2), -(-h // 2)
@@ -65,7 +65,7 @@ def _run_bucket(blocks, w, h):
         mu, sig, jnp.asarray(prepare_sigprop_stream(dref, lrefs)),
         jnp.asarray(prepare_magref_stream(dref, lrefs)),
         jnp.asarray(pLSB), jnp.asarray(has_sp), jnp.asarray(has_mr),
-        qw=qw, qh=qh, w=w, h=h)
+        jnp.full(n, bool(causal)), qw=qw, qh=qh, w=w, h=h)
     return np.asarray(ras)[:, :h, :w]
 
 
@@ -98,3 +98,34 @@ def test_refine_kernel_vs_oracle(w, h):
     for i, exp in enumerate(expects):
         assert np.array_equal(exp.astype(np.int64) & 0xFFFFFFFF,
                               got[i].astype(np.int64)), f"lane {i}"
+
+
+@pytest.mark.parametrize("w,h", [(32, 32), (20, 19)])
+def test_refine_kernel_causal(w, h):
+    """HT-causal (CBLK_VSC) SigProp, device vs oracle bit-exact.
+
+    causal_cond masks the row-below MBR terms on each stripe's last row
+    (jpeg2000htdec.c:1034-1077); streams are encoded causally so the
+    round-trip also proves the encoder/decoder pair agrees. Non-causal
+    decode of the same streams must differ somewhere across the batch
+    (guards against the flag being ignored)."""
+    blocks, expects = [], []
+    for _ in range(16):
+        enc = None
+        while enc is None:
+            mag = RNG.integers(0, 128, (h, w)).astype(np.int64)
+            mag = np.where(RNG.random((h, w)) < 0.6, 0, mag)
+            sign = np.where(mag > 0,
+                            RNG.integers(0, 2, (h, w)).astype(np.int64), 0)
+            enc = encode_block_3pass(mag, sign, ZBP, is_causal=1)
+        data, lcup, lref = enc
+        blocks.append((data, lcup, lref, 3))
+        expects.append(decode_htj2k(data, 3, ZBP, [lcup, lref], w, h,
+                                    MAGB, 0, 1))
+    got = _run_bucket(blocks, w, h, causal=True)
+    for i, exp in enumerate(expects):
+        assert np.array_equal(exp.astype(np.int64) & 0xFFFFFFFF,
+                              got[i].astype(np.int64)), f"lane {i}"
+    got_nc = _run_bucket(blocks, w, h, causal=False)
+    assert not np.array_equal(got_nc, got), \
+        "causal flag had no effect on any lane"

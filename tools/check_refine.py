@@ -66,7 +66,7 @@ def run_bucket(blocks, w, h, zbp):
     ras = decode_refinement_scan(
         mu, sig, jnp.asarray(spw), jnp.asarray(mrw), jnp.asarray(pLSB),
         jnp.asarray(has_sp), jnp.asarray(has_mr),
-        qw=qw, qh=qh, w=w, h=h)
+        jnp.zeros(n, bool), qw=qw, qh=qh, w=w, h=h)
     return np.asarray(ras)[:, :h, :w]
 
 
