@@ -143,7 +143,8 @@ def main() -> None:
         prog = ASM.make_v3_program(
             fg.v3_plan, fg.geom.key(), qw=fg.v3_plan.bw // 2,
             qh=fg.v3_plan.bh // 2, ms_class=msc, n_pad=fg.ncblks,
-            frames=1, donate=True)
+            frames=1, donate=True,
+            no_istep=bool(np.all(np.asarray(args["istep"]) == 32768)))
         import jax.numpy as jnp
         shape, dt = ASM.packed_shape(fg.geom.key(), 1)
         packed = prog(jnp.zeros(shape, dt), **args)
@@ -160,6 +161,32 @@ def main() -> None:
                                         "ms_per_frame": round(best * 1e3, 2)}
         print(f"# c3 device-resident: {1.0 / best:.3f} fps "
               f"({best * 1e3:.1f} ms/frame)", file=sys.stderr)
+        # batched steady state: F frames share one fused launch. The scan
+        # kernel is one long dependency chain, so ~6k lanes leave the VPU
+        # latency-bound; doubling lanes costs less than 2x (motion decode
+        # naturally batches frames, c5-style).
+        for F in (2, 4):
+            argsF, _ = FP.finish_v3(fg, [fc] * F, fg.geom.total)
+            progF = ASM.make_v3_program(
+                fg.v3_plan, fg.geom.key(), qw=fg.v3_plan.bw // 2,
+                qh=fg.v3_plan.bh // 2, ms_class=msc, n_pad=fg.ncblks,
+                frames=F, donate=True,
+                no_istep=bool(np.all(np.asarray(args["istep"]) == 32768)))
+            shapeF, dtF = ASM.packed_shape(fg.geom.key(), F)
+            packedF = progF(jnp.zeros(shapeF, dtF), **argsF)
+            _sync = np.asarray(packedF[-1])
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(n_it):
+                    packedF = progF(packedF, **argsF)
+                _sync = np.asarray(packedF[-1])
+                best = min(best, (time.perf_counter() - t0) / n_it)
+            fpsF = F / best
+            detail["c3_device_resident"][f"batched_f{F}_fps"] = \
+                round(fpsF, 3)
+            print(f"# c3 device-resident F={F}: {fpsF:.3f} fps "
+                  f"({best * 1e3 / F:.1f} ms/frame)", file=sys.stderr)
         # stage breakdown: merged entropy kernel alone (scalar-reduced so
         # the timing excludes the platform's fresh-output-buffer cost)
         import jax

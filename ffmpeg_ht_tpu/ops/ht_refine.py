@@ -55,21 +55,6 @@ def _stripes(h: int):
     return out
 
 
-def _rasterize(quad, qh: int, qw: int):
-    """Quad layout (N, qh, 4*qw) -> raster (N, 2qh, 2qw); corner i of quad
-    (qr, qc) lives at [:, qr, 4*qc+i] with dy = i & 1, dx = i >> 1."""
-    n = quad.shape[0]
-    g = quad.reshape(n, qh, qw, 2, 2)          # [..., dx, dy]
-    return g.transpose(0, 1, 4, 2, 3).reshape(n, 2 * qh, 2 * qw)
-
-
-def _unrasterize(ras, qh: int, qw: int):
-    """Inverse of _rasterize."""
-    n = ras.shape[0]
-    g = ras.reshape(n, qh, 2, qw, 2)           # [:, qr, dy, qc, dx]
-    return g.transpose(0, 1, 3, 4, 2).reshape(n, qh, 4 * qw)
-
-
 @functools.partial(jax.jit, static_argnames=("qw", "qh", "w", "h"))
 def decode_refinement_scan(mu, sig, spw, mrw, pLSB, has_sp, has_mr,
                            causal, qw: int, qh: int, w: int, h: int):
@@ -102,8 +87,15 @@ def decode_refinement_scan(mu, sig, spw, mrw, pLSB, has_sp, has_mr,
     pL = jnp.asarray(pLSB, I32) - 1
 
     ras = mu.astype(U32)
-    sig_s = ((sig[..., None].astype(I32) >> jnp.arange(4, dtype=I32)) & 1)
-    sigp = _rasterize(sig_s.reshape(N, qh, 4 * qw), qh, qw)
+    # per-sample sigma from the 4-bit quad patterns, in raster space:
+    # corner index of raster (y, x) is (y & 1) + 2 * (x & 1), so a 2x2
+    # upsample (repeat, bandwidth-cheap) plus a static shift pattern
+    # replaces the 2x2-minor-dim transpose (_rasterize), which defeats
+    # the (8,128) tiling
+    sig_up = jnp.repeat(jnp.repeat(sig.astype(I32), 2, axis=1), 2, axis=2)
+    corner = ((jnp.arange(H, dtype=I32)[:, None] & 1)
+              + 2 * (jnp.arange(W, dtype=I32)[None, :] & 1))
+    sigp = (sig_up >> corner[None]) & 1
     # oracle writeback zeroes quad pads in both samples and sigma
     vy = (jnp.arange(H) < h)[None, :, None]
     vx = (jnp.arange(W) < w)[None, None, :]
