@@ -187,11 +187,11 @@ def refill_top_staged(words_g, st, lim, S: int, G: int):
     ar = jnp.arange(Wg, dtype=I32)[None, :]
     cand = []
     for gi in range(2):
-        sel = ar == (g0 + gi)[:, None]
-        for j in range(G):
-            cand.append(jnp.sum(jnp.where(sel, words_g[:, :, j],
-                                          jnp.uint32(0)),
-                                axis=1, dtype=U32))
+        sel = (ar == (g0 + gi)[:, None]).astype(U32)
+        # one masked reduce delivers the whole G-word group (the per-slot
+        # where+sum form issued G separate reduce chains per group)
+        grp = jnp.sum(sel[:, :, None] * words_g, axis=1, dtype=U32)
+        cand.extend(grp[:, j] for j in range(G))
     off0 = base - g0 * G             # 0..G-1
     w = list(w)
     for s in range(S):
