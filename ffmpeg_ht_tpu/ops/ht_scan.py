@@ -147,6 +147,17 @@ def _drop(st, n, active):
     return st
 
 
+def _drop32(st, n):
+    """Advance by n (<= 32) bits without reading a value. Entry invariant
+    off < 32 means off + 32 - 32 < 32 after at most ONE roll."""
+    pos, widx, w = st
+    pos = pos + n.astype(I32)
+    roll = (pos - (widx << 5)) >= 32
+    w = tuple(jnp.where(roll, w[k + 1], w[k]) for k in range(len(w) - 1)) \
+        + (w[-1],)
+    return (pos, widx + roll.astype(I32), w)
+
+
 def refill_top(words, st, lim, S: int):
     """End-of-iteration refill: refetch the top S window slots."""
     pos, widx, w = st
@@ -276,60 +287,79 @@ def _cxtvlc(code, context, tbl_split):
     ar = jnp.asarray(_AR32)[None, :]
     ohh = (hi[:, None] == ar).astype(jnp.float32)
     rows64 = ohh @ jnp.asarray(tbl_split)          # (N, 64) both bytes
-    sel = lo[:, None] == ar
-    packed = jnp.sum(jnp.where(sel, rows64[:, :32], 0.0), axis=1) \
-        + 256.0 * jnp.sum(jnp.where(sel, rows64[:, 32:], 0.0), axis=1)
+    # column pick by a 5-level binary select tree over both byte planes
+    # at once (62 column-ops vs ~256 for the masked-reduce pick)
+    r = rows64.reshape(-1, 2, 32)
+    for bit in (4, 3, 2, 1, 0):
+        half = r.shape[2] // 2
+        take = (((lo >> bit) & 1) == 1)[:, None, None]
+        r = jnp.where(take, r[:, :, half:], r[:, :, :half])
+    packed = r[:, 0, 0] + 256.0 * r[:, 1, 0]
     return packed.astype(I32)
 
 
-def _sig_emb(mst, vst, tbl_f32, context, active):
-    """MEL-gated CxtVLC decode (jpeg2000htdec.c:510-531), unconditional."""
-    melled = active & (context == 0)
-    sym, mst = _mel_sym(mst, melled)
-    read = active & ((context != 0) | (sym == 1))
-    code = _peek_only(vst, 7)
-    packed = _cxtvlc(code, context, tbl_f32)
-    vst = _drop(vst, jnp.where(read, (packed & 0xF) >> 1, 0), read)
-    res = jnp.where(read, packed & 1, 0)
-    sp = jnp.where(read, (packed >> 4) & 0xF, 0)
-    ek = jnp.where(read, (packed >> 8) & 0xF, 0)
-    e1 = jnp.where(read, (packed >> 12) & 0xF, 0)
-    return res, sp, ek, e1, mst, vst
+def _sig_emb_pair(mst, vst, tbl_f32, c1, c2_fn, a1v, a2v):
+    """MEL-gated CxtVLC decode (jpeg2000htdec.c:510-531) for BOTH quads
+    of a pair from ONE 32-bit peek (two codewords total <= 14 bits) and
+    ONE combined drop — quad 2's context comes from quad 1's sig pattern
+    via c2_fn. Each single-quad form cost a full VLC window roll."""
+    pk = _peek32(vst)
+
+    def one(code, context, active, mst):
+        melled = active & (context == 0)
+        sym, mst = _mel_sym(mst, melled)
+        read = active & ((context != 0) | (sym == 1))
+        packed = _cxtvlc(code, context, tbl_f32)
+        ln = jnp.where(read, (packed & 0xF) >> 1, 0)
+        res = jnp.where(read, packed & 1, 0)
+        sp = jnp.where(read, (packed >> 4) & 0xF, 0)
+        ek = jnp.where(read, (packed >> 8) & 0xF, 0)
+        e1 = jnp.where(read, (packed >> 12) & 0xF, 0)
+        return (res, sp, ek, e1), ln, mst
+
+    q1, ln1, mst = one(pk & jnp.uint32(0x7F), c1, a1v, mst)
+    c2 = c2_fn(q1[1])
+    q2, ln2, mst = one((pk >> ln1.astype(U32)) & jnp.uint32(0x7F), c2,
+                       a2v, mst)
+    ln = ln1 + ln2
+    vst = _drop(vst, ln, ln > 0)
+    return q1, q2, c2, mst, vst
 
 
 # ---------------------------------------------------------------------------
-# U-VLC pieces (closed-form prefix; jpeg2000htdec.c:338-388)
+# quad-pair U coding (closed-form U-VLC, jpeg2000htdec.c:338-388) with
+# merged masked read schedules. Per lane, the masked subsequence of
+# reads preserves that lane's stream order, so one fixed schedule serves
+# every branch of jpeg2000htdec.c:666-712/828-854.
+#
+# A whole pair's U fields total <= 25 bits (3+3+1+5+5+4+4), so ONE
+# 32-bit peek serves every field via cascaded variable-offset extracts,
+# followed by ONE combined drop — instead of six window reads each
+# rolling the (large) VLC register window.
 # ---------------------------------------------------------------------------
 
 
-def _u_prefix(vst, active):
-    b = _peek_only(vst, 3).astype(I32)
+def _uf_prefix(pk, off, active):
+    """U-VLC prefix from peeked bits at variable offset (no consume)."""
+    b = (pk >> off.astype(U32)).astype(I32) & 7
     val = jnp.where(b & 1, 1, jnp.where(b & 2, 2, jnp.where(b == 4, 3, 5)))
-    drop = jnp.where(b & 1, 1, jnp.where(b & 2, 2, 3))
-    vst = _drop(vst, jnp.where(active, drop, 0), active)
-    return jnp.where(active, val, 0), vst
+    ln = jnp.where(b & 1, 1, jnp.where(b & 2, 2, 3))
+    return (jnp.where(active, val, 0),
+            off + jnp.where(active, ln, 0))
 
 
-def _u_suffix(vst, prefix, active):
+def _uf_suffix(pk, off, prefix, active):
     is3 = active & (prefix == 3)
     is5 = active & (prefix > 3)
-    b = _peek_only(vst, 5).astype(I32)
-    val = jnp.where(is3, b & 1, jnp.where(is5, b, 0))
-    vst = _drop(vst, jnp.where(is3, 1, jnp.where(is5, 5, 0)), active)
-    return val, vst
+    b = (pk >> off.astype(U32)).astype(I32)
+    val = jnp.where(is3, b & 1, jnp.where(is5, b & 31, 0))
+    return val, off + jnp.where(is3, 1, jnp.where(is5, 5, 0))
 
 
-def _u_extension(vst, suffix, active):
+def _uf_ext(pk, off, suffix, active):
     has = active & (suffix >= 28)
-    val, vst = _read(vst, jnp.where(has, 4, 0), has)
-    return jnp.where(has, val.astype(I32), 0), vst
-
-
-# ---------------------------------------------------------------------------
-# quad-pair U coding with merged masked read schedules. Per lane, the
-# masked subsequence of reads preserves that lane's stream order, so one
-# fixed schedule serves every branch of jpeg2000htdec.c:666-712/828-854.
-# ---------------------------------------------------------------------------
+    val = jnp.where(has, (pk >> off.astype(U32)).astype(I32) & 15, 0)
+    return val, off + jnp.where(has, 4, 0)
 
 
 def _u_pair_initial(mst, vst, r1, r2, a1, a2):
@@ -342,16 +372,19 @@ def _u_pair_initial(mst, vst, r1, r2, a1, a2):
     mel1 = both & (sym == 1)
     mel0 = both & (sym == 0)
 
-    p0, vst = _u_prefix(vst, both | only)
+    pk = _peek32(vst)
+    off = jnp.zeros(r1.shape, I32)
+    p0, off = _uf_prefix(pk, off, both | only)
     big = mel0 & (p0 > 2)
     small = mel0 & (p0 <= 2)
-    p1, vst = _u_prefix(vst, mel1 | small)
-    bit, vst = _read(vst, jnp.where(big, 1, 0), big)
-    bit = bit.astype(I32)
-    s0, vst = _u_suffix(vst, p0, both | only)
-    s1, vst = _u_suffix(vst, p1, mel1 | small)
-    e0, vst = _u_extension(vst, s0, both | only)
-    e1, vst = _u_extension(vst, s1, mel1 | small)
+    p1, off = _uf_prefix(pk, off, mel1 | small)
+    bit = jnp.where(big, (pk >> off.astype(U32)).astype(I32) & 1, 0)
+    off = off + big.astype(I32)
+    s0, off = _uf_suffix(pk, off, p0, both | only)
+    s1, off = _uf_suffix(pk, off, p1, mel1 | small)
+    e0, off = _uf_ext(pk, off, s0, both | only)
+    e1, off = _uf_ext(pk, off, s1, mel1 | small)
+    vst = _drop(vst, off, off > 0)
 
     ua = p0 + s0 + 4 * e0
     ub = p1 + s1 + 4 * e1
@@ -369,12 +402,15 @@ def _u_pair_noninit(vst, r1, r2, a1, a2):
     only2 = a2 & (r2 == 1) & (r1 == 0)
     only = only1 | only2
 
-    p0, vst = _u_prefix(vst, both | only)
-    p1, vst = _u_prefix(vst, both)
-    s0, vst = _u_suffix(vst, p0, both | only)
-    s1, vst = _u_suffix(vst, p1, both)
-    e0, vst = _u_extension(vst, s0, both | only)
-    e1, vst = _u_extension(vst, s1, both)
+    pk = _peek32(vst)
+    off = jnp.zeros(r1.shape, I32)
+    p0, off = _uf_prefix(pk, off, both | only)
+    p1, off = _uf_prefix(pk, off, both)
+    s0, off = _uf_suffix(pk, off, p0, both | only)
+    s1, off = _uf_suffix(pk, off, p1, both)
+    e0, off = _uf_ext(pk, off, s0, both | only)
+    e1, off = _uf_ext(pk, off, s1, both)
+    vst = _drop(vst, off, off > 0)
 
     ua = p0 + s0 + (e0 << 2)
     ub = p1 + s1 + (e1 << 2)
@@ -408,22 +444,47 @@ def _recover4(msst, U, sp, ek, e1, pLSB, active, clamp: int):
     """Returns (mus list of 4 (N,) registers in corner order, es (N, 4)
     stacked exponents, msst). mus stay unstacked so the scan bodies can
     emit them in raster-row order (see the ys layout note in
-    _cleanup_impl)."""
+    _cleanup_impl).
+
+    For clamp <= 16 two samples' fields fit one 32-bit peek, so the quad
+    costs two peeks + two combined drops instead of four window reads
+    (each a full MS-window register roll)."""
     mus, es = [], []
-    for i in range(4):
-        sig = (sp >> i) & 1
-        m = sig * U - ((ek >> i) & 1)
-        m = jnp.minimum(m, clamp)
-        do = active & (m > 0)
-        v, msst = _read(msst, jnp.where(do, m, 0), do)
-        known1 = ((e1 >> i) & 1).astype(U32)
-        v = v + (known1 << jnp.where(do, m, 0).astype(U32))
+
+    def sample(v, do, m):
+        known1 = ((e1 >> sample.i) & 1).astype(U32)
+        v = v + (known1 << m.astype(U32))
         e_n = _bitlen32(v | jnp.uint32(1))
         val = (((v >> 1) + 1) << pLSB.astype(U32)) \
             | (jnp.uint32(1) << (pLSB.astype(U32) - 1)) \
             | ((v & 1) << 31)
         mus.append(jnp.where(do, val, jnp.uint32(0)))
         es.append(jnp.where(do, e_n, 0))
+
+    if clamp <= 16:
+        for half in range(2):
+            pk = _peek32(msst)
+            off = jnp.zeros(U.shape, I32)
+            for i in (2 * half, 2 * half + 1):
+                sample.i = i
+                sig = (sp >> i) & 1
+                m = jnp.minimum(sig * U - ((ek >> i) & 1), clamp)
+                do = active & (m > 0)
+                mm = jnp.where(do, m, 0)
+                v = (pk >> off.astype(U32)) \
+                    & ((jnp.uint32(1) << mm.astype(U32)) - 1)
+                off = off + mm
+                sample(v, do, mm)
+            msst = _drop32(msst, off)
+    else:
+        for i in range(4):
+            sample.i = i
+            sig = (sp >> i) & 1
+            m = jnp.minimum(sig * U - ((ek >> i) & 1), clamp)
+            do = active & (m > 0)
+            mm = jnp.where(do, m, 0)
+            v, msst = _read(msst, mm, do)
+            sample(v, do, mm)
     return mus, jnp.stack(es, axis=1), msst
 
 
@@ -544,10 +605,9 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
 
     def row0_pair(st, context, a1v, a2v):
         vst, mst, msst, ok = st
-        r1, sp1, ek1, e11, mst, vst = _sig_emb(mst, vst, tbl0, context,
-                                               a1v)
-        c2 = ctx_first(sp1)
-        r2, sp2, ek2, e12, mst, vst = _sig_emb(mst, vst, tbl0, c2, a2v)
+        ((r1, sp1, ek1, e11), (r2, sp2, ek2, e12), c2, mst,
+         vst) = _sig_emb_pair(mst, vst, tbl0, context, ctx_first, a1v,
+                              a2v)
         context = jnp.where(a2v, ctx_first(sp2),
                             jnp.where(a1v, c2, context))
         u1, u2, mst, vst = _u_pair_initial(mst, vst, r1, r2, a1v, a2v)
@@ -636,10 +696,11 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
     def rowk_pair(st, wprev, cA2, kmax2, a1v, a2v):
         vst, mst, msst, ok = st
         c1 = cA2[:, 0] | (wprev << 1)
-        r1, sp1, ek1, e11, mst, vst = _sig_emb(mst, vst, tbl1, c1, a1v)
-        w1 = ((sp1 >> 2) | (sp1 >> 3)) & 1
-        c2 = cA2[:, 1] | (w1 << 1)
-        r2, sp2, ek2, e12, mst, vst = _sig_emb(mst, vst, tbl1, c2, a2v)
+        ((r1, sp1, ek1, e11), (r2, sp2, ek2, e12), _c2, mst,
+         vst) = _sig_emb_pair(
+            mst, vst, tbl1, c1,
+            lambda sp: cA2[:, 1] | ((((sp >> 2) | (sp >> 3)) & 1) << 1),
+            a1v, a2v)
         u1, u2, vst = _u_pair_noninit(vst, r1, r2, a1v, a2v)
         U1 = jnp.maximum(1, gamma_of(sp1) * (kmax2[:, 0] - 1)) + u1
         U2 = jnp.where(
