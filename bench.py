@@ -61,34 +61,51 @@ def main() -> None:
     detail = {}
     dec = Decoder(bitexact=True)
 
+    # Non-headline configs never take the JSON line down with them: a
+    # flaky tunnel run that still measured c3 must still report it.
+    def config(key, fn):
+        try:
+            fn()
+        except Exception as e:
+            detail[key] = {"error": repr(e)[:200]}
+            print(f"# {key} FAILED: {e!r}", file=sys.stderr)
+
     # config 1: 512x512 8-bit gray lossless motion batch (16 frames)
-    imgs = [rng.integers(0, 256, (512, 512), dtype=np.uint8)
-            for _ in range(16)]
-    streams = [encode_frame_htj2k(i, tile_width=512, tile_height=512,
-                                  log2_cblk_width=6, log2_cblk_height=6)
-               for i in imgs]
-    frames = dec.decode_batch(streams)
-    assert all(f.tobytes() == i.tobytes() for f, i in zip(frames, imgs)), \
-        "config-1 decode not lossless"
-    fps, mb = _time_batch(dec, streams, reps=4)
-    detail["c1_512_gray_lossless"] = {"fps": round(fps, 3),
-                                      "mb_out_per_frame": round(mb, 2)}
-    print(f"# c1 512x512 gray lossless: {fps:.2f} fps", file=sys.stderr)
+    def c1():
+        imgs = [rng.integers(0, 256, (512, 512), dtype=np.uint8)
+                for _ in range(16)]
+        streams = [encode_frame_htj2k(i, tile_width=512, tile_height=512,
+                                      log2_cblk_width=6,
+                                      log2_cblk_height=6)
+                   for i in imgs]
+        frames = dec.decode_batch(streams)
+        assert all(f.tobytes() == i.tobytes()
+                   for f, i in zip(frames, imgs)), \
+            "config-1 decode not lossless"
+        fps, mb = _time_batch(dec, streams, reps=4)
+        detail["c1_512_gray_lossless"] = {"fps": round(fps, 3),
+                                          "mb_out_per_frame": round(mb, 2)}
+        print(f"# c1 512x512 gray lossless: {fps:.2f} fps",
+              file=sys.stderr)
+    config("c1_512_gray_lossless", c1)
 
     # config 2: 1080p RGB lossy 9/7 + ICT, float path (ffmpeg default),
     # 4-frame batch
-    base = _smooth(1080, 1920)
-    rgb = [np.stack([np.roll(base, i, 1), base[::-1], base], axis=2)
-           for i in range(4)]
-    streams = [encode_frame_htj2k(f, pred=0, mct=True, tile_width=2048,
-                                  tile_height=2048, log2_cblk_width=6,
-                                  log2_cblk_height=6, nreslevels=6)
-               for f in rgb]
-    dec_f = Decoder(bitexact=False)
-    fps, mb = _time_batch(dec_f, streams)
-    detail["c2_1080p_rgb_lossy_ict"] = {"fps": round(fps, 3),
-                                        "mb_out_per_frame": round(mb, 2)}
-    print(f"# c2 1080p RGB 9/7+ICT: {fps:.2f} fps", file=sys.stderr)
+    def c2():
+        base = _smooth(1080, 1920)
+        rgb = [np.stack([np.roll(base, i, 1), base[::-1], base], axis=2)
+               for i in range(4)]
+        streams = [encode_frame_htj2k(f, pred=0, mct=True,
+                                      tile_width=2048, tile_height=2048,
+                                      log2_cblk_width=6,
+                                      log2_cblk_height=6, nreslevels=6)
+                   for f in rgb]
+        dec_f = Decoder(bitexact=False)
+        fps, mb = _time_batch(dec_f, streams)
+        detail["c2_1080p_rgb_lossy_ict"] = {"fps": round(fps, 3),
+                                            "mb_out_per_frame": round(mb, 2)}
+        print(f"# c2 1080p RGB 9/7+ICT: {fps:.2f} fps", file=sys.stderr)
+    config("c2_1080p_rgb_lossy_ict", c2)
 
     # config 3 (headline): 4K 10-bit 4:4:4 lossless, 64x64 codeblocks
     b10 = _smooth(2160, 3840, 0, 1023, np.uint16)
@@ -219,31 +236,38 @@ def main() -> None:
     # config 4: 8K tiled 10-bit gray lossless, 64x64 precincts and two
     # quality layers (Cleanup / SigProp+MagRef split) per BASELINE.json:
     # "multiple precincts and quality layers (stress codeblock batching)"
-    b8k = _smooth(4320, 7680, 0, 1023, np.uint16)
-    streams = [encode_frame_htj2k(b8k, depth=10, tile_width=1024,
-                                  tile_height=1024, log2_cblk_width=6,
-                                  log2_cblk_height=6, log2_prec_width=6,
-                                  refinement=True, ht_layers=2)]
-    fps, mb = _time_batch(dec, streams, reps=2)
-    detail["c4_8k_tiled_prec_layers"] = {"fps": round(fps, 3),
-                                         "mb_out_per_frame": round(mb, 2)}
-    print(f"# c4 8K tiled prec+layers: {fps:.3f} fps", file=sys.stderr)
+    def c4():
+        b8k = _smooth(4320, 7680, 0, 1023, np.uint16)
+        streams = [encode_frame_htj2k(b8k, depth=10, tile_width=1024,
+                                      tile_height=1024, log2_cblk_width=6,
+                                      log2_cblk_height=6,
+                                      log2_prec_width=6,
+                                      refinement=True, ht_layers=2)]
+        fps, mb = _time_batch(dec, streams, reps=2)
+        detail["c4_8k_tiled_prec_layers"] = {"fps": round(fps, 3),
+                                             "mb_out_per_frame": round(mb, 2)}
+        print(f"# c4 8K tiled prec+layers: {fps:.3f} fps",
+              file=sys.stderr)
+    config("c4_8k_tiled_prec_layers", c4)
 
     # config 5: N=2 parallel 4K Motion-HTJ2K streams from a real MXF
     # container (BASELINE.json: "Motion-HTJ2K sequence (MJ2/MXF)")
-    from ffmpeg_ht_tpu.containers.mxf import demux_mxf, mux_mxf
-    seq = streams_4k + [
-        encode_frame_htj2k(np.stack([np.roll(b10, k, 1)] * 3, axis=2),
-                           depth=10, tile_width=4096, tile_height=4096,
-                           log2_cblk_width=6, log2_cblk_height=6)
-        for k in (3, 7, 11)]
-    mxf = mux_mxf(seq, 3840, 2160, ncomp=3, depth=10)
-    streams = list(demux_mxf(mxf))
-    assert streams == seq, "MXF round-trip corrupted the essence"
-    fps, mb = _time_batch(dec, streams, reps=2)
-    detail["c5_mxf_4k_motion"] = {"fps": round(fps, 3),
-                                  "mb_out_per_frame": round(mb, 2)}
-    print(f"# c5 MXF 4K motion: {fps:.3f} fps", file=sys.stderr)
+    def c5():
+        from ffmpeg_ht_tpu.containers.mxf import demux_mxf, mux_mxf
+        seq = streams_4k + [
+            encode_frame_htj2k(np.stack([np.roll(b10, k, 1)] * 3, axis=2),
+                               depth=10, tile_width=4096,
+                               tile_height=4096, log2_cblk_width=6,
+                               log2_cblk_height=6)
+            for k in (3, 7, 11)]
+        mxf = mux_mxf(seq, 3840, 2160, ncomp=3, depth=10)
+        streams = list(demux_mxf(mxf))
+        assert streams == seq, "MXF round-trip corrupted the essence"
+        fps, mb = _time_batch(dec, streams, reps=2)
+        detail["c5_mxf_4k_motion"] = {"fps": round(fps, 3),
+                                      "mb_out_per_frame": round(mb, 2)}
+        print(f"# c5 MXF 4K motion: {fps:.3f} fps", file=sys.stderr)
+    config("c5_mxf_4k_motion", c5)
 
     print(json.dumps({
         "metric": "decode_fps_4k_444_10bit_lossless_tpu",
