@@ -636,6 +636,16 @@ def decode_htj2k(data: bytes, npasses: int, zbp: int, pass_lengths,
     buf[lcup - 1] = 0xFF
     buf[lcup - 2] |= 0x0F
 
+    if s_blk + 1 < 32:
+        # native tier (native/htdec.c): the same algorithm at C speed —
+        # host-fallback lanes cost ~20 ms/block in Python on this host
+        from ffmpeg_ht_tpu.utils import native as NV
+        nat = NV.ht_decode_block(buf, lcup, pcup, lref, pLSB, width,
+                                 height, s_blk + 1, magb, roi_shift,
+                                 z_blk, is_causal)
+        if nat is not None:
+            return nat
+
     sample_buf, block_states, stride = decode_cleanup(
         bytes(buf), lcup, pcup, pLSB, width, height, s_blk + 1)
 

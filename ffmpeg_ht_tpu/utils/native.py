@@ -300,3 +300,50 @@ def ebcot_decode_cblk(data: bytes, npasses: int, nonzerobits: int,
         from ffmpeg_ht_tpu.utils.log import logger
         logger.error("Segmentation symbol value incorrect")
     return out
+
+
+# ---------------------------------------------------------------------------
+# HT block decoder (native/htdec.c — C port of ops/ht_dec.py, the oracle)
+# ---------------------------------------------------------------------------
+
+_HTDEC_BOUND = False
+_CXTVLC_FLAT = None
+
+
+def ht_decode_block(buf, lcup: int, pcup: int, lref: int, pLSB: int,
+                    width: int, height: int, maxbp: int, magb: int,
+                    roi_shift: int, z_blk: int, is_causal: int):
+    """Native HT code-block decode on the oracle's prepared buffer
+    (extended + trailing 0xFF + modDcup, Scup already validated).
+    Returns (h, w) int32 sign-magnitude samples, or None if the library
+    is unavailable. Raises InvalidData exactly where the oracle does."""
+    lib = load()
+    if lib is None or not hasattr(lib, "ht_decode_block"):
+        return None
+    global _HTDEC_BOUND, _CXTVLC_FLAT
+    if not _HTDEC_BOUND:
+        lib.ht_decode_block.restype = ctypes.c_int
+        lib.ht_decode_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        from ffmpeg_ht_tpu.ops import tables as tb
+        _CXTVLC_FLAT = np.ascontiguousarray(
+            tb.CXTVLC_PACKED.reshape(-1), np.uint16)
+        _HTDEC_BOUND = True
+    data = np.frombuffer(bytes(buf), np.uint8)
+    out = np.empty((height, width), np.int32)
+    rc = lib.ht_decode_block(
+        data.ctypes.data, len(data), lcup, pcup, lref, pLSB,
+        width, height, maxbp, magb, roi_shift, z_blk, is_causal,
+        _CXTVLC_FLAT.ctypes.data, out.ctypes.data)
+    if rc == -1:
+        from ffmpeg_ht_tpu.utils.errors import InvalidData
+        raise InvalidData("bad U in HT cleanup")
+    if rc != 0:
+        return None
+    return out
