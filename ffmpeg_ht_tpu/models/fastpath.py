@@ -599,10 +599,15 @@ def build_v3_frame(fg, cols):
 
     lmax = int(lcup[dev].max()) if np.any(dev) else 4
     lmax = max(lmax, 4)
-    idx = cols["off"][:, None] + np.arange(lmax)[None, :]
-    take = np.minimum(idx, len(body) - 1)
-    mask = (np.arange(lmax)[None, :] < lcup[:, None]) & dev[:, None]
-    data = np.where(mask, body[take], 0).astype(np.uint8)
+    # one padded gather builds the byte matrix: the native stream prep
+    # reads each lane strictly within [pcup, lcup), so bytes beyond a
+    # lane's lcup (or in non-device rows) need no zero mask, and the
+    # zero tail makes end-of-body clipping unnecessary (int32 indices:
+    # this matrix is rebuilt per frame and was the prep's hot spot)
+    body_pad = np.concatenate([body, np.zeros(lmax + 8, np.uint8)])
+    idx = (cols["off"].astype(np.int32)[:, None]
+           + np.arange(lmax, dtype=np.int32)[None, :])
+    data = body_pad[idx]
 
     lcups = np.where(dev, lcup, 2).astype(np.int64)
     # Scup + modDcup (vectorized; parity jpeg2000htdec.c:1265-1278)
