@@ -36,7 +36,7 @@ from ffmpeg_ht_tpu.codestream.t2 import decode_tile_packets
 from ffmpeg_ht_tpu.models import host_decoder
 from ffmpeg_ht_tpu.models import pixfmt as pf
 from ffmpeg_ht_tpu.models.host_decoder import DecodedFrame
-from ffmpeg_ht_tpu.utils.errors import InvalidData
+from ffmpeg_ht_tpu.utils.errors import InvalidData, UnshardableBatch
 from ffmpeg_ht_tpu.utils.log import logger
 
 _LANE_PAD = 8          # lane count rounded up to a multiple of this
@@ -158,7 +158,12 @@ def _build_batch(hdr, tiles: List[Tile]):
             poff, _, pstride = (planes[tile_comp_index[tileno][compno]][0],
                                 0, planes[tile_comp_index[tileno][compno]][2])
             subbandno = 0
-            for rl in comp.reslevel:
+            # lowres: reslevels >= nreslevels2decode were parsed (their
+            # packets occupy the stream) but decode no coefficients —
+            # their dests lie outside the reduced plane
+            # (jpeg2000dec.c:509-520)
+            n2d = tile.codsty[compno].nreslevels2decode
+            for rl in comp.reslevel[:n2d]:
                 for bandno, band in enumerate(rl.band):
                     magb = qntsty.expn[subbandno] + qntsty.nguardbits - 1
                     subbandno += 1
@@ -675,7 +680,8 @@ class Decoder:
         for fin in inflight:
             yield fin()
 
-    def decode_batch(self, streams, mesh=None) -> List[DecodedFrame]:
+    def decode_batch(self, streams, mesh=None,
+                     require_shard: bool = False) -> List[DecodedFrame]:
         """Decode many same-geometry frames in one device launch.
 
         The frame axis concatenates into the entropy kernel's lane axis
@@ -686,13 +692,22 @@ class Decoder:
         `mesh`: a 1-axis jax.sharding.Mesh — the frame axis shards over
         its devices via shard_map (each device decodes len(streams)/D
         frames; embarrassingly parallel, no collectives — SURVEY §2.2
-        multi-device row). Falls back to single-device decode when the
-        streams leave the sharded profile.
+        multi-device row). F not divisible by D is padded by replicating
+        the last frame (the pad decodes are dropped from the output).
+        When the streams leave the sharded (v3) profile the batch decodes
+        single-device: with require_shard=True that raises
+        UnshardableBatch instead, and otherwise it logs a warning naming
+        the reason — never a silent degradation (the reference's frame
+        threading is likewise never silently 1, pthread_frame.c).
         """
         if mesh is not None:
-            out = self._decode_batch_sharded(streams, mesh)
+            out, why = self._decode_batch_sharded(streams, mesh)
             if out is not None:
                 return out
+            if require_shard:
+                raise UnshardableBatch(why)
+            logger.warning("decode_batch: cannot shard (%s); "
+                           "decoding single-device", why)
         import jax.numpy as jnp
 
         hdrs = [parse_codestream(data, bitexact=self.bitexact,
@@ -757,11 +772,12 @@ class Decoder:
         return frames
 
     def _decode_batch_sharded(self, streams, mesh) -> \
-            "List[DecodedFrame] | None":
+            "Tuple[List[DecodedFrame] | None, str | None]":
         """Shard the frame axis of a same-geometry batch over a 1-axis
         device mesh: every device runs the fused v3 program on its own
-        F/D frames (shard_map, no collectives). Returns None when the
-        batch leaves the v3 profile (caller decodes single-device)."""
+        F/D frames (shard_map, no collectives). Returns (frames, None),
+        or (None, reason) when the batch leaves the v3 profile — the
+        caller warns or raises, never degrades silently."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -772,33 +788,40 @@ class Decoder:
         hdrs = [parse_codestream(data, bitexact=self.bitexact,
                                  reduction_factor=self.reduction_factor)
                 for data in streams]
-        if self.max_layers or not hdrs \
-                or not all(FP.fast_profile(h) for h in hdrs):
-            return None
+        if not hdrs:
+            return None, "empty batch"
+        if self.max_layers:
+            return None, "max_layers truncation is per-frame host logic"
+        for i, h in enumerate(hdrs):
+            if not FP.fast_profile(h):
+                return None, f"stream {i} leaves the fast-lane profile " \
+                    "(POC/PPM/PPT/ROI/lowres/non-HTONLY/oversize cblk)"
         if len({FP.geometry_fingerprint(h) for h in hdrs}) != 1:
-            return None
+            return None, "streams do not share one geometry"
         fg = self._fast_geom(hdrs[0])
         if fg.v3_plan is None:
             fg.v3_plan = ASM.build_plan(fg) or False
         if fg.v3_plan is False or fg.ncblks == 0:
-            return None
+            return None, "geometry has no v3 assembly plan"
         D = int(np.prod(mesh.devices.shape))
         F = len(hdrs)
-        if F % D != 0:
-            return None
-        Fl = F // D
         axis = mesh.axis_names[0]
         total = fg.geom.total
 
         frames = []
-        for hdr in hdrs:
+        for i, hdr in enumerate(hdrs):
             cols = FP.parse_frame_flat(hdr, fg)
             if cols is None:
-                return None
+                return None, f"stream {i} failed the native flat parse"
             fc = FP.build_v3_frame(fg, cols)
             if fc is None:
-                return None
+                return None, f"stream {i} has host-only codeblocks"
             frames.append(fc)
+        # pad the frame axis to a multiple of D by replicating the last
+        # frame; the pad decodes are dropped below
+        n_pad_frames = (-F) % D
+        frames.extend([frames[-1]] * n_pad_frames)
+        Fl = (F + n_pad_frames) // D
         args, _F = FP.finish_v3(fg, frames, total)
 
         # per-shard host-fallback prefill with SHARD-local lane-raster
@@ -833,7 +856,7 @@ class Decoder:
             if devl.any():
                 mb = max(mb, int(fc["maxbp"][devl].max()))
         if mb > 25:
-            return None
+            return None, "magnitude exponent > 25 (host-tier codeblocks)"
         ms_class = next(c for c in (8, 12, 16, 20, 25) if mb <= c)
 
         body = ASM.make_v3_program(
@@ -871,6 +894,8 @@ class Decoder:
                     "invalid HT codestream (U bound violated)")
             off = 0
             for lf in range(Fl):
+                if d * Fl + lf >= F:        # frame-axis padding
+                    break
                 outs = []
                 for (o, ph, pw) in fg.geom.planes:
                     outs.append(piece[off:off + ph * pw].reshape(ph, pw))
@@ -878,7 +903,7 @@ class Decoder:
                 hdr = hdrs[d * Fl + lf]
                 out_frames.append(
                     self._assemble_frame(hdr, fg.tiles, outs))
-        return out_frames
+        return out_frames, None
 
     def _dispatch(self, geom: _Geometry, buckets, prefill):
         """Pack buckets, upload, and run entropy + assembly (no host sync).

@@ -17,3 +17,12 @@ class InvalidData(J2KError):
 
 class PatchWelcome(J2KError):
     """Valid codestream using an unsupported feature (AVERROR_PATCHWELCOME)."""
+
+
+class UnshardableBatch(J2KError):
+    """decode_batch(mesh=, require_shard=True) could not shard the batch.
+
+    The message names the first stream/feature that left the sharded (v3)
+    profile. Without require_shard the same condition is a logged warning
+    plus single-device decode.
+    """

@@ -37,6 +37,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 FFMPEG = "/root/repo/third_party/ffmpeg-build/ffmpeg"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute on the 1-core host "
+        "(deselect with -m 'not slow')")
+
+
 def have_ffmpeg() -> bool:
     return os.path.exists(FFMPEG)
 
