@@ -437,16 +437,7 @@ def decode_tile_packets(hdr: MainHeader, tileno: int, tile: Tile,
     progressive-quality analog of the resolution cap `reduction_factor`;
     capped layers' packets are parsed and skipped in place)."""
     th = hdr.tiles[tileno]
-    # distribute PPM header slices in SOD order on first use
-    if hdr.has_ppm and hdr.tile_part_order \
-            and hdr.tile_part_order[0].ppm_header is None:
-        g = ByteReader(hdr.packed_headers)
-        for tp in hdr.tile_part_order:
-            size = g.u32()
-            if g.bytes_left() < size:
-                raise InvalidData("PPM too short")
-            tp.ppm_header = g.read(size)
-
+    distribute_ppm_headers(hdr)
     streams = _TileStreams(hdr, th)
     streams.br.bit_index = 8
 
@@ -462,6 +453,19 @@ def decode_tile_packets(hdr: MainHeader, tileno: int, tile: Tile,
                       max_layers=max_layers)
 
 
+def distribute_ppm_headers(hdr: MainHeader) -> None:
+    """Slice hdr.packed_headers by the Nppm prefixes in SOD order on
+    first use (T.800 A.7.4; ref jpeg2000dec.c PPM handling)."""
+    if hdr.has_ppm and hdr.tile_part_order \
+            and hdr.tile_part_order[0].ppm_header is None:
+        g = ByteReader(hdr.packed_headers)
+        for tp in hdr.tile_part_order:
+            size = g.u32()
+            if g.bytes_left() < size:
+                raise InvalidData("PPM too short")
+            tp.ppm_header = g.read(size)
+
+
 def _expn_slice(qntsty, reslevelno: int):
     off = 3 * (reslevelno - 1) + 1 if reslevelno else 0
     return qntsty.expn[off:]
@@ -471,17 +475,31 @@ def packet_order(hdr: MainHeader, th: TileHeader, tile: Tile,
                  nlayers: int = 1):
     """(compno, reslevelno, precno, layno) tuples in stream order.
 
-    No-POC helper for the native T2 fast path: replays the same
-    progression iteration decode_tile_packets uses, without touching
-    any stream."""
+    Helper for the native T2 fast path: replays the same progression
+    iteration decode_tile_packets uses — including POC entries and the
+    per-precinct decoded-layers dedup (decode_packet:106-108, ref
+    jpeg2000dec.c:1147-1150) — without touching any stream. The emitted
+    sequence is therefore exactly the packet sequence in the stream."""
     order = []
+    decoded = {}
 
     def visit(compno, reslevelno, precno, layno):
+        key = (compno, reslevelno, precno)
+        if layno < decoded.get(key, 0):
+            return
+        decoded[key] = layno + 1
         order.append((compno, reslevelno, precno, layno))
 
-    _po_iteration(hdr, th, tile, None, 0, 0, nlayers, 33,
-                  hdr.siz.ncomponents, th.codsty[0].prog_order,
-                  visit=visit)
+    if th.poc.entries:
+        for e in th.poc.entries:
+            _po_iteration(hdr, th, tile, None, e.rspoc, e.cspoc,
+                          min(e.lyepoc, nlayers), e.repoc,
+                          min(e.cepoc, hdr.siz.ncomponents), e.ppoc,
+                          visit=visit)
+    else:
+        _po_iteration(hdr, th, tile, None, 0, 0, nlayers, 33,
+                      hdr.siz.ncomponents, th.codsty[0].prog_order,
+                      visit=visit)
     return order
 
 

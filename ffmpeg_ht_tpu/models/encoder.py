@@ -22,9 +22,9 @@ import numpy as np
 from ffmpeg_ht_tpu.codestream import markers as mk
 from ffmpeg_ht_tpu.codestream.geometry import Tile, init_tile
 from ffmpeg_ht_tpu.codestream.structures import (CodingStyle, ComponentInfo,
-                                                 MainHeader, QuantStyle, SIZ,
-                                                 TileHeader)
-from ffmpeg_ht_tpu.codestream.t2_enc import encode_packets
+                                                 MainHeader, POCEntry,
+                                                 QuantStyle, SIZ, TileHeader)
+from ffmpeg_ht_tpu.codestream.t2_enc import encode_packet, encode_packets
 from ffmpeg_ht_tpu.ops import dwt as dwtmod
 from ffmpeg_ht_tpu.ops import t1_enc
 from ffmpeg_ht_tpu.ops.t1_enc import NMSEDEC_FRACBITS
@@ -101,6 +101,15 @@ class EncoderConfig:
                            # source for the decoder's causal_cond path
                            # (jpeg2000htdec.c:1034-1077). Needs
                            # refinement=True to matter.
+    poc: Optional[List] = None  # progression order changes (POC, T.800
+                           # A.6.6): list of (rspoc, cspoc, lyepoc,
+                           # repoc, cepoc, prog_str) entries, emitted as
+                           # a main-header POC segment; packets are then
+                           # emitted in the POC-visit order with the
+                           # per-precinct dedup the decoder applies
+                           # (jpeg2000dec.c:1147-1150) — the decode-side
+                           # vector source for POC streams. HT encoder
+                           # only
     ht_mixed: bool = False  # HT MIXED set (Ccap15 bits 14-15 = 3, SPcod
                            # style 0xC0): alternate codeblocks between the
                            # HT Cleanup coder and the legacy T.800 MQ
@@ -593,13 +602,36 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
     # HOMOGENEOUS; bit5 set = irreversible transforms allowed (clear =
     # HTREV reversible-only set, which the reference rejects for
     # transform 0, jpeg2000dec.c:1056-1059)
+    # bit 11: HETEROGENEOUS — required for tile-header marker segments
+    # like PPT (the decoder rejects PPT in a HOMOGENEOUS HT set,
+    # parser.py:626 / jpeg2000dec.c Ccap15 handling)
     ccap15 = b_field | (0x20 if lossy else 0) \
-        | (0xC000 if cfg.ht_mixed else 0)
+        | (0xC000 if cfg.ht_mixed else 0) \
+        | (0x0800 if cfg.ppt else 0)
     out.extend(_be16(mk.CAP) + _be16(2 + 4 + 2))  # Lcap
     out.extend(_be32(1 << 17))  # Pcap: Ccap15 present
     out.extend(_be16(ccap15))
     _put_cod_ht(out, cfg, codsty, nlayers_ht)
     _put_qcd(out, codsty, qntsty)
+    if cfg.poc:
+        # POC segment (T.800 A.6.6, 7-byte entries for <= 257 comps);
+        # entries normalized exactly as the parser will read them back
+        # (parser._get_poc) so the emission order below matches decode
+        entries = []
+        for (rspoc, cspoc, lyepoc, repoc, cepoc, prog) in cfg.poc:
+            e = POCEntry(rspoc=rspoc, cspoc=cspoc, lyepoc=lyepoc,
+                         repoc=repoc, cepoc=min(cepoc or 256, ncomp),
+                         ppoc=_PROG[prog])
+            if (e.rspoc >= e.repoc or e.repoc > 33 or e.cspoc >= e.cepoc
+                    or e.lyepoc == 0):
+                raise ValueError(f"invalid POC entry {e}")
+            entries.append(e)
+        out.extend(_be16(mk.POC) + _be16(2 + 7 * len(entries)))
+        for e in entries:
+            out.extend(bytes([e.rspoc, e.cspoc]) + _be16(e.lyepoc)
+                       + bytes([e.repoc, e.cepoc % 256, e.ppoc]))
+        for th in hdr.tiles:
+            th.poc.entries = list(entries)
 
     if cfg.ppm and (cfg.ppt or cfg.tp_interval):
         raise ValueError("ppm needs ppt=False and tp_interval=0")
@@ -754,9 +786,27 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
         body = bytearray()
         bnds = [] if cfg.tp_interval else None
         hdrs = bytearray() if (cfg.ppt or cfg.ppm) else None
-        encode_packets(body, tile, nlayers_ht, _PROG[cfg.prog],
-                       cfg.sop, cfg.eph, chroma_shift, boundaries=bnds,
-                       header_out=hdrs)
+        if cfg.poc:
+            # POC-visit order with the decoder's per-precinct dedup:
+            # packet_order replays decode_tile_packets' exact iteration,
+            # so emission and decode agree by construction (and both are
+            # cross-validated against the reference binary in tests)
+            from ffmpeg_ht_tpu.codestream.t2 import packet_order
+            pkno = 0
+            for (compno, rlno, precno, layno) in packet_order(
+                    hdr, hdr.tiles[tileno], tile, nlayers_ht):
+                q = tile.qntsty[compno]
+                off = 3 * rlno - 2 if rlno else 0
+                encode_packet(body, tile.comp[compno].reslevel[rlno],
+                              layno, precno, q.expn[off:], q.nguardbits,
+                              pkno, nlayers_ht, cfg.sop, cfg.eph, hdrs)
+                pkno += 1
+                if bnds is not None:
+                    bnds.append(len(body))
+        else:
+            encode_packets(body, tile, nlayers_ht, _PROG[cfg.prog],
+                           cfg.sop, cfg.eph, chroma_shift, boundaries=bnds,
+                           header_out=hdrs)
         if cfg.ppm:
             ppm_records.append(bytes(hdrs))
         _emit_tile_parts(tp_dst, tileno, bytes(body), bnds,

@@ -36,14 +36,14 @@ _HOST_AREA = 256           # keep in sync with models.decoder
 
 def fast_profile(hdr) -> bool:
     """Header-only check that every codeblock will fit the fast lane."""
-    if hdr.has_ppm or hdr.reduction_factor:
+    if hdr.has_ppm and any(len(th.tile_parts) != 1 for th in hdr.tiles):
+        # multiple tile-parts share one tp_index cursor between the body
+        # and PPM header streams (t2._TileStreams); the flat lane's
+        # concatenated-header read is only exactly equivalent with one
+        # tile-part per tile (our encoder's PPM form)
         return False
     transform = None
-    if hdr.poc.entries:
-        return False
     for th in hdr.tiles:
-        if th.poc.entries or th.has_ppt:
-            return False
         if any(r for r in th.roi_shift):
             return False
         for codsty, qntsty in zip(th.codsty, th.qntsty):
@@ -127,8 +127,17 @@ class FlatGeometry:
             cblk_base = len(cols["w"])
             prec_map = {}
             tree_count = 0
+            # lowres: packets of reslevels >= nreslevels2decode still
+            # occupy the stream, so the native parser must walk them
+            # (tag trees and all); their codeblocks land in a discard
+            # zone after the tile's kept codeblocks (negative base
+            # markers resolved below) and never reach cols/prec_list —
+            # the parse advances, the coefficients are dropped
+            # (ref: jpeg2000dec.c:509-520 reslevels2decode)
+            dropped = 0
             for compno, comp in enumerate(tile.comp):
                 qntsty = tile.qntsty[compno]
+                nres2dec = tile.codsty[compno].nreslevels2decode
                 poff = planes[tci[tileno][compno]][0]
                 pstride = planes[tci[tileno][compno]][2]
                 subbandno = 0
@@ -139,6 +148,17 @@ class FlatGeometry:
                         subbandno += 1
                         if (band.coord[0][0] >= band.coord[0][1]
                                 or band.coord[1][0] >= band.coord[1][1]):
+                            continue
+                        if rlno >= nres2dec:
+                            for precno, prec in enumerate(band.prec):
+                                cw = prec.nb_codeblocks_width
+                                ch = prec.nb_codeblocks_height
+                                prec_map.setdefault(
+                                    (compno, rlno, precno), []).append(
+                                    (-(dropped + 1), cw, ch, magb,
+                                     tree_count))
+                                tree_count += 1
+                                dropped += cw * ch
                             continue
                         s97 = int97_scale(band.f_stepsize, magb) \
                             if transform == mk.DWT97_INT else 0
@@ -179,6 +199,7 @@ class FlatGeometry:
             order = packet_order(hdr, th, tile, nlayers)
             pkt_nband, pkt_csty, pkt_style, pkt_layno = [], [], [], []
             bi_base, bi_cw, bi_ch, bi_magb, bi_tree = [], [], [], [], []
+            kept_n = len(cols["w"]) - cblk_base
             for (compno, rlno, precno, layno) in order:
                 bis = prec_map.get((compno, rlno, precno), [])
                 pkt_nband.append(len(bis))
@@ -186,7 +207,9 @@ class FlatGeometry:
                 pkt_style.append(th.codsty[compno].cblk_style)
                 pkt_layno.append(layno)
                 for (base, cw, ch, magb, tid) in bis:
-                    bi_base.append(base)
+                    # negative = lowres discard zone after the kept cblks
+                    bi_base.append(base if base >= 0
+                                   else kept_n + (-base - 1))
                     bi_cw.append(cw)
                     bi_ch.append(ch)
                     bi_magb.append(magb)
@@ -201,7 +224,7 @@ class FlatGeometry:
                 np.asarray(bi_ch, np.int32),
                 np.asarray(bi_magb, np.int32),
                 np.asarray(bi_tree, np.int32),
-                tree_count, nlayers))
+                tree_count, nlayers, kept_n + dropped))
             self.tile_range.append((cblk_base, len(cols["w"])))
 
         for k in ("w", "h", "dest", "stride", "magb", "istep", "scale97"):
@@ -220,6 +243,9 @@ def geometry_fingerprint(hdr):
            hdr.reduction_factor,
            tuple((c.depth, c.sgnd, c.dx, c.dy) for c in siz.components)]
     for th in hdr.tiles:
+        # POC rewrites the packet order baked into tile_pkts
+        key.append(tuple((e.rspoc, e.cspoc, e.lyepoc, e.repoc, e.cepoc,
+                          e.ppoc) for e in th.poc.entries))
         for codsty, qntsty in zip(th.codsty, th.qntsty):
             key.append((codsty.csty, codsty.prog_order, codsty.nlayers,
                         codsty.nreslevels, codsty.nreslevels2decode,
@@ -245,19 +271,31 @@ def parse_frame_flat(hdr, fg: FlatGeometry) -> Optional[dict]:
     outs = []
     base_off = 0
     multilayer = False
+    if hdr.has_ppm:
+        from ffmpeg_ht_tpu.codestream.t2 import distribute_ppm_headers
+        distribute_ppm_headers(hdr)
     for tileno, th in enumerate(hdr.tiles):
         parts = sorted(th.tile_parts, key=lambda tp: tp.tp_index)
         body = b"".join(bytes(tp.data) for tp in parts)
+        # packed packet headers (PPM: per-tile-part slices, gated to one
+        # part per tile; PPT: the tile's accumulated buffer)
+        pph = None
+        if hdr.has_ppm:
+            pph = b"".join(bytes(tp.ppm_header or b"") for tp in parts)
+        elif th.has_ppt:
+            pph = bytes(th.packed_headers)
         (pkt_nband, pkt_csty, pkt_style, pkt_layno,
          bi_base, bi_cw, bi_ch, bi_magb, bi_tree,
-         n_trees, nlayers) = fg.tile_pkts[tileno]
+         n_trees, nlayers, n_parse) = fg.tile_pkts[tileno]
         lo, hi = fg.tile_range[tileno]
         o = native.t2_parse_packets(body, pkt_nband, pkt_csty, pkt_style,
                                     pkt_layno, bi_base, bi_cw, bi_ch,
                                     bi_magb, bi_tree, n_trees, 0,
-                                    hi - lo, max(nlayers, 1))
+                                    n_parse, max(nlayers, 1), pph=pph)
         if o is None:
             return None
+        if n_parse > hi - lo:       # lowres: drop the discard zone
+            o = {k: v[:hi - lo] for k, v in o.items()}
         o["seg_off"] = o["seg_off"] + base_off
         multilayer = multilayer or nlayers > 1
         bodies.append(body)
