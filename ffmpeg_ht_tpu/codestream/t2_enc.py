@@ -144,12 +144,12 @@ def encode_packet(out: bytearray, rlevel, layno: int, precno: int,
 
     With `header_out` set, the packet header bits (and EPH) go there
     instead of `out` — the packed-headers form (PPT marker, T.800 A.7.5;
-    decode side t2.py select_stream / jpeg2000dec.c:980-1004). SOP is
-    not supported in that mode."""
+    decode side t2.py select_stream / jpeg2000dec.c:980-1004). SOP stays
+    in the body stream either way (the decoder skips it there via
+    _post_header -> select_stream when headers are packed)."""
     hdst = out if header_out is None else header_out
     bp = BitPacker()
     if sop:
-        assert header_out is None, "SOP + packed headers unsupported"
         out.extend(bytes([0xFF, 0x91, 0x00, 0x04])
                    + packetno.to_bytes(2, "big"))
 

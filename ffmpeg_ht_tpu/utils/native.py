@@ -196,8 +196,12 @@ _T2_BOUND = False
 def t2_parse_packets(body: bytes, pkt_nband, pkt_csty, pkt_style,
                      pkt_layno, bi_base, bi_cw, bi_ch, bi_magb, bi_tree,
                      n_trees: int, roi_shift: int, ncblks: int,
-                     max_segs: int = 1):
+                     max_segs: int = 1, pph: bytes = None):
     """Native packet-header parse (all quality layers).
+
+    `pph`: packed packet headers (PPM/PPT) — header bits come from this
+    buffer, payload bytes from `body` (t2.py's select_header /
+    _post_header split). None = inline headers.
 
     Returns dict of flat per-cblk arrays (seg_off/seg_len are
     (ncblks, max_segs) per-layer payload ranges), or None when the
@@ -211,6 +215,7 @@ def t2_parse_packets(body: bytes, pkt_nband, pkt_csty, pkt_style,
     if not _T2_BOUND:
         lib.t2_parse_packets.restype = ctypes.c_int
         lib.t2_parse_packets.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                         ctypes.c_void_p, ctypes.c_int64,
                                          ctypes.c_int32] \
             + [ctypes.c_void_p] * 9 \
             + [ctypes.c_int32] * 4 + [ctypes.c_void_p] * 10
@@ -223,8 +228,12 @@ def t2_parse_packets(body: bytes, pkt_nband, pkt_csty, pkt_style,
     o["seg_off"] = np.zeros((ncblks, max_segs), np.int64)
     o["seg_len"] = np.zeros((ncblks, max_segs), np.int64)
     bodyb = np.frombuffer(body, np.uint8)
+    pphb = np.frombuffer(pph, np.uint8) if pph else None
     rc = lib.t2_parse_packets(
-        bodyb.ctypes.data, len(body), npackets,
+        bodyb.ctypes.data, len(body),
+        pphb.ctypes.data if pphb is not None else None,
+        len(pph) if pph else 0,
+        npackets,
         np.ascontiguousarray(pkt_nband, np.int32).ctypes.data,
         np.ascontiguousarray(pkt_csty, np.int32).ctypes.data,
         np.ascontiguousarray(pkt_style, np.int32).ctypes.data,

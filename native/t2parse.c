@@ -297,6 +297,8 @@ static int decode_lengths(BitReader *br, CState *cs, int newpasses,
 
 int t2_parse_packets(
     const uint8_t *body, int64_t body_len,
+    const uint8_t *pph, int64_t pph_len,   /* packed packet headers
+                                              (PPM/PPT); NULL = inline */
     int32_t npackets,
     const int32_t *pkt_nband,
     const int32_t *pkt_csty,
@@ -317,6 +319,13 @@ int t2_parse_packets(
     int64_t *o_len)
 {
     BitReader br = { body, 0, body_len, 8 };
+    /* PPM/PPT form (T.800 A.7.4/A.7.5): packet headers read from the
+     * packed-headers stream, payloads from the body stream (the
+     * select_header / _post_header split, t2.py:124-130,251-255).
+     * Without packed headers, h aliases the body reader. */
+    BitReader hbr = { pph, 0, pph_len, 8 };
+    const int use_pph = pph != NULL;
+    BitReader *h = use_pph ? &hbr : &br;
     int bi = 0;
     int ret = T2_OK;
 
@@ -345,8 +354,10 @@ int t2_parse_packets(
         }
 
         /* SOP before the packet (select_stream, jpeg2000dec.c:1125-1132);
-         * the full 6-byte segment must fit. */
-        if (csty & 0x02) {
+         * the full 6-byte segment must fit. With packed headers the
+         * body-stream SOP is skipped after the header instead
+         * (_post_header -> select_stream, t2.py:251-255). */
+        if ((csty & 0x02) && !use_pph) {
             if (br.pos + 2 <= br.end
                 && br.buf[br.pos] == 0xFF && br.buf[br.pos + 1] == 0x91) {
                 if (br.pos + 6 > br.end) {
@@ -357,12 +368,17 @@ int t2_parse_packets(
             }
         }
 
-        if (!br_bit(&br)) {             /* empty packet */
-            br_flush(&br);
-            if (csty & 0x04) {          /* EPH */
-                if (br.pos + 2 <= br.end
-                    && br.buf[br.pos] == 0xFF && br.buf[br.pos + 1] == 0x92)
-                    br.pos += 2;
+        if (!br_bit(h)) {               /* empty packet */
+            br_flush(h);
+            if (csty & 0x04) {          /* EPH (header stream) */
+                if (h->pos + 2 <= h->end
+                    && h->buf[h->pos] == 0xFF && h->buf[h->pos + 1] == 0x92)
+                    h->pos += 2;
+            }
+            if (use_pph && (csty & 0x02)) {
+                if (br.pos + 6 <= br.end
+                    && br.buf[br.pos] == 0xFF && br.buf[br.pos + 1] == 0x91)
+                    br.pos += 6;
             }
             bi += nband;
             continue;
@@ -397,15 +413,15 @@ int t2_parse_packets(
                 int included;
                 if (!cs->incl) {
                     included =
-                        tt_decode(&incl_t[tid], &br, c, layno + 1)
+                        tt_decode(&incl_t[tid], h, c, layno + 1)
                         <= layno;
                 } else {
-                    included = br_bit(&br);
+                    included = br_bit(h);
                 }
                 if (!included)
                     continue;
                 if (!cs->incl) {
-                    int zbp = tt_decode(&zero_t[tid], &br, c, 100);
+                    int zbp = tt_decode(&zero_t[tid], h, c, 100);
                     int v = magb - (zbp - roi_shift);
                     if (v < 0 || v > 30) {
                         ret = T2_INVALID;
@@ -419,12 +435,12 @@ int t2_parse_packets(
                     o_zbp[idx] = zbp;
                     o_nzb[idx] = v;
                 }
-                int newpasses = getnpasses(&br);
+                int newpasses = getnpasses(h);
                 if (newpasses >= 100) {     /* MAX_PASSES guard */
                     ret = T2_UNSUPPORTED;
                     break;
                 }
-                int llen = getlblockinc(&br);
+                int llen = getlblockinc(h);
                 if (cs->lblock + llen + av_log2i((uint32_t)newpasses)
                     > 16) {
                     ret = T2_UNSUPPORTED;
@@ -432,7 +448,7 @@ int t2_parse_packets(
                 }
                 cs->lblock += llen;
                 int64_t seg = 0;
-                int r = decode_lengths(&br, cs, newpasses, &seg);
+                int r = decode_lengths(h, cs, newpasses, &seg);
                 if (r != T2_OK) {
                     ret = r;
                     break;
@@ -447,11 +463,16 @@ int t2_parse_packets(
         if (ret != T2_OK)
             break;
 
-        br_flush(&br);
-        if (csty & 0x04) {              /* EPH */
-            if (br.pos + 2 <= br.end
-                && br.buf[br.pos] == 0xFF && br.buf[br.pos + 1] == 0x92)
-                br.pos += 2;
+        br_flush(h);
+        if (csty & 0x04) {              /* EPH (header stream) */
+            if (h->pos + 2 <= h->end
+                && h->buf[h->pos] == 0xFF && h->buf[h->pos + 1] == 0x92)
+                h->pos += 2;
+        }
+        if (use_pph && (csty & 0x02)) { /* body-stream SOP */
+            if (br.pos + 6 <= br.end
+                && br.buf[br.pos] == 0xFF && br.buf[br.pos + 1] == 0x91)
+                br.pos += 6;
         }
 
         /* pass 2: payload offsets (stream order = cblk order) */
