@@ -219,6 +219,26 @@ def _cmd_probe(args) -> int:
         print(f"transform: {'5/3' if cod.transform == 1 else '9/7'}")
         print(f"progression: "
               f"{['LRCP','RLCP','RPCL','PCRL','CPRL'][cod.prog_order]}")
+        print(f"layers: {cod.nlayers}")
+        # index tables: the random-access budget (TLM seeks tile-parts,
+        # decode_tile skips other tiles' bytes; PLT seeks packets,
+        # discarded layers skip bytewise)
+        if hdr.tlm_records:
+            print(f"tlm: {len(hdr.tlm_records)} tile-parts, "
+                  f"{sum(p for _, p in hdr.tlm_records)} seekable bytes"
+                  f" ({hdr.tlm_skipped} skipped this parse)")
+        plt_pkts = sum(len(th.plt_lengths) for th in hdr.tiles)
+        if plt_pkts:
+            print(f"plt: {plt_pkts} packets, "
+                  f"{sum(sum(th.plt_lengths) for th in hdr.tiles)} "
+                  f"seekable bytes")
+        extras = [n for n, f in (("ppm", hdr.has_ppm),
+                                 ("ppt", any(t.has_ppt for t in hdr.tiles)),
+                                 ("poc", any(t.poc.entries
+                                             for t in hdr.tiles)))
+                  if f]
+        if extras:
+            print(f"features: {', '.join(extras)}")
     return 0
 
 

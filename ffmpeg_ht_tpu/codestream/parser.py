@@ -328,13 +328,22 @@ def _get_tlm(g: ByteReader, n: int, hdr: MainHeader) -> None:
         hdr.tlm_records.append((ttlm, ptlm))
 
 
-def _get_plt(g: ByteReader, n: int) -> None:
+def _get_plt(g: ByteReader, n: int, th=None) -> None:
+    """Packet-length varints (T.800 A.7.3): 7 bits per byte, bit 7 set =
+    continuation. Lengths accumulate on the tile header in stream order;
+    decode_tile_packets uses them to skip discarded packets bytewise."""
     if n < 4:
         raise InvalidData("PLT too short")
     g.u8()  # Zplt
     v = 0
+    acc = 0
     for _ in range(n - 3):
         v = g.u8()
+        acc = (acc << 7) | (v & 0x7F)
+        if not (v & 0x80):
+            if th is not None:
+                th.plt_lengths.append(acc)
+            acc = 0
     if v & 0x80:
         raise InvalidData("PLT truncated mid-varint")
 
@@ -611,7 +620,8 @@ def _read_main_headers(g: ByteReader, hdr: MainHeader) -> None:
         elif marker == mk.TLM:
             _get_tlm(g, length, hdr)
         elif marker == mk.PLT:
-            _get_plt(g, length)
+            _get_plt(g, length,
+                     hdr.tiles[curtileno] if curtileno >= 0 else None)
         elif marker == mk.PPM:
             if in_tile_headers:
                 raise InvalidData("PPM must be in main header")

@@ -142,6 +142,8 @@ class TileHeader:
     packed_headers: bytes = b""  # PPT payload
     has_ppt: bool = False
     roi_shift: List[int] = field(default_factory=list)
+    plt_lengths: List[int] = field(default_factory=list)  # PLT (A.7.3):
+    # per-packet byte lengths in stream order (SOP/EPH included)
 
 
 @dataclass

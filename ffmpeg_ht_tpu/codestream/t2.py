@@ -92,20 +92,54 @@ _CBLK_LAYER_STATE = ("npasses", "lblock", "modes", "ht_plhd", "length",
                      "zbp", "nonzerobits")
 
 
+def _plt_skip(streams: _TileStreams, n: int) -> None:
+    """Skip one packet's bytes using its PLT length (incl. SOP/EPH),
+    walking tile-part boundaries like select_stream does."""
+    while n > 0:
+        g = streams.tpg[streams.tp_index] \
+            if streams.tp_index < len(streams.tpg) else None
+        if g is None:
+            raise InvalidData("PLT skip past stream end")
+        take = min(n, g.bytes_left())
+        if take == 0:
+            if streams.tp_index >= len(streams.tpg) - 1:
+                raise InvalidData("PLT skip past stream end")
+            streams.tp_index += 1
+            continue
+        g.skip(take)
+        n -= take
+    streams.br.bit_index = 8
+
+
 def decode_packet(hdr: MainHeader, th: TileHeader, tile: Tile,
                   streams: _TileStreams, codsty, rlevel, precno: int,
                   layno: int, expn, numgbits: int,
-                  discard: bool = False) -> None:
+                  discard: bool = False, plt_state=None) -> None:
     """One packet (jpeg2000dec.c:1136-1541).
 
     `discard` parses the packet and advances the stream but leaves every
     codeblock's decoded state untouched (the max_layers quality cap: a
     capped layer's packets still occupy stream bytes, and in
-    layer-interleaved progressions they sit between packets we keep)."""
+    layer-interleaved progressions they sit between packets we keep).
+    With PLT lengths available (`plt_state`) a discarded packet is
+    skipped bytewise instead of bit-parsed — the random-access use of
+    the PLT table (T.800 A.7.3)."""
     prec0 = rlevel.band[0].prec[precno]
     if layno < prec0.decoded_layers:
         return
     prec0.decoded_layers = layno + 1
+
+    plt_len = None
+    if plt_state is not None:
+        i = plt_state["idx"]
+        plt_state["idx"] = i + 1
+        if i < len(plt_state["lengths"]):
+            plt_len = plt_state["lengths"][i]
+    if discard and plt_len is not None \
+            and not hdr.has_ppm and not th.has_ppt:
+        streams.select_stream(0)        # position at the packet start
+        _plt_skip(streams, plt_len)
+        return
 
     saves = None
     if discard:
@@ -440,17 +474,19 @@ def decode_tile_packets(hdr: MainHeader, tileno: int, tile: Tile,
     distribute_ppm_headers(hdr)
     streams = _TileStreams(hdr, th)
     streams.br.bit_index = 8
+    plt_state = {"lengths": th.plt_lengths, "idx": 0} \
+        if th.plt_lengths else None
 
     if th.poc.entries:
         for e in th.poc.entries:
             _po_iteration(hdr, th, tile, streams, e.rspoc, e.cspoc,
                           min(e.lyepoc, th.codsty[0].nlayers), e.repoc,
                           min(e.cepoc, hdr.siz.ncomponents), e.ppoc,
-                          max_layers=max_layers)
+                          max_layers=max_layers, plt_state=plt_state)
     else:
         _po_iteration(hdr, th, tile, streams, 0, 0, th.codsty[0].nlayers,
                       33, hdr.siz.ncomponents, th.codsty[0].prog_order,
-                      max_layers=max_layers)
+                      max_layers=max_layers, plt_state=plt_state)
 
 
 def distribute_ppm_headers(hdr: MainHeader) -> None:
@@ -506,7 +542,7 @@ def packet_order(hdr: MainHeader, th: TileHeader, tile: Tile,
 def _po_iteration(hdr: MainHeader, th: TileHeader, tile: Tile,
                   streams: _TileStreams, rspoc: int, cspoc: int, lyepoc: int,
                   repoc: int, cepoc: int, ppoc: int, visit=None,
-                  max_layers: int = 0) -> None:
+                  max_layers: int = 0, plt_state=None) -> None:
     """One progression-order iteration (jpeg2000dec.c:1544-1833)."""
     siz = hdr.siz
     ncomp = siz.ncomponents
@@ -519,7 +555,8 @@ def _po_iteration(hdr: MainHeader, th: TileHeader, tile: Tile,
             return
         decode_packet(hdr, th, tile, streams, codsty, rlevel, precno, layno,
                       _expn_slice(qntsty, reslevelno), qntsty.nguardbits,
-                      discard=bool(max_layers) and layno >= max_layers)
+                      discard=bool(max_layers) and layno >= max_layers,
+                      plt_state=plt_state)
 
     if ppoc == mk.PGOD_RLCP or ppoc == mk.PGOD_LRCP:
         outer_r = ppoc == mk.PGOD_RLCP

@@ -69,6 +69,10 @@ class EncoderConfig:
     ppt: bool = False      # packed packet headers in tile header (PPT,
                            # T.800 A.7.5; beyond j2kenc — decode-path
                            # test-vector source for t2.py select_stream)
+    plt: bool = False      # packet-length table in the tile header (PLT,
+                           # T.800 A.7.3; varint per packet incl. SOP/EPH)
+                           # — decode side skips discarded packets
+                           # bytewise (t2.decode_packet plt_state)
     tlm: bool = False      # tile-part length table in the main header
                            # (TLM, T.800 A.7.1; ST=2/SP=1 records) —
                            # enables TLM random access (decode_tile)
@@ -784,7 +788,7 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                                        for _ in range(nlayers_ht - 1)]
 
         body = bytearray()
-        bnds = [] if cfg.tp_interval else None
+        bnds = [] if (cfg.tp_interval or cfg.plt) else None
         hdrs = bytearray() if (cfg.ppt or cfg.ppm) else None
         if cfg.poc:
             # POC-visit order with the decoder's per-precinct dedup:
@@ -809,9 +813,15 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                            header_out=hdrs)
         if cfg.ppm:
             ppm_records.append(bytes(hdrs))
-        _emit_tile_parts(tp_dst, tileno, bytes(body), bnds,
-                         cfg.tp_interval,
-                         _ppt_segments(bytes(hdrs)) if cfg.ppt else b"",
+        markers = b""
+        if cfg.plt:
+            plens = [b - a for a, b in zip([0] + bnds[:-1], bnds)]
+            markers += _plt_segments(plens)
+        if cfg.ppt:
+            markers += _ppt_segments(bytes(hdrs))
+        _emit_tile_parts(tp_dst, tileno, bytes(body),
+                         bnds if cfg.tp_interval else None,
+                         cfg.tp_interval, markers,
                          part_lengths=tlm_parts if cfg.tlm else None)
 
     if cfg.tlm:
@@ -875,6 +885,35 @@ def _emit_tile_parts(out: bytearray, tileno: int, body: bytes,
         out.extend(seg)
         if part_lengths is not None:
             part_lengths.append((tileno, psot))
+
+
+def _plt_segments(lengths) -> bytes:
+    """Packet-length table (PLT, T.800 A.7.3): FF58 Lplt Zplt followed by
+    one varint per packet (7 bits/byte, bit 7 = continuation), split into
+    <= 65532-byte segments with Zplt ascending."""
+    out = bytearray()
+    chunk = bytearray()
+    z = 0
+
+    def emit_chunk():
+        nonlocal z
+        out.extend(_be16(mk.PLT) + _be16(3 + len(chunk))
+                   + bytes([z]) + chunk)
+        z += 1
+        chunk.clear()
+
+    for n in lengths:
+        grp = [n & 0x7F]
+        n >>= 7
+        while n:
+            grp.append(0x80 | (n & 0x7F))
+            n >>= 7
+        # never split a varint across segments (parser rejects it)
+        if len(chunk) + len(grp) > 65532:
+            emit_chunk()
+        chunk.extend(reversed(grp))
+    emit_chunk()
+    return bytes(out)
 
 
 def _ppt_segments(headers: bytes) -> bytes:
@@ -1056,16 +1095,22 @@ def encode_frame_t800(img: Union[np.ndarray, Sequence[np.ndarray]],
             _truncpasses(tile, codsty, cfg.quality * QP2LAMBDA * LAMBDA_SCALE)
 
         body = bytearray()
-        bnds = [] if cfg.tp_interval else None
+        bnds = [] if (cfg.tp_interval or cfg.plt) else None
         hdrs = bytearray() if (cfg.ppt or cfg.ppm) else None
         encode_packets(body, tile, nlayers, _PROG[cfg.prog],
                        cfg.sop, cfg.eph, chroma_shift, boundaries=bnds,
                        header_out=hdrs)
         if cfg.ppm:
             ppm_records.append(bytes(hdrs))
-        _emit_tile_parts(tp_dst, tileno, bytes(body), bnds,
-                         cfg.tp_interval,
-                         _ppt_segments(bytes(hdrs)) if cfg.ppt else b"",
+        markers = b""
+        if cfg.plt:
+            plens = [b - a for a, b in zip([0] + bnds[:-1], bnds)]
+            markers += _plt_segments(plens)
+        if cfg.ppt:
+            markers += _ppt_segments(bytes(hdrs))
+        _emit_tile_parts(tp_dst, tileno, bytes(body),
+                         bnds if cfg.tp_interval else None,
+                         cfg.tp_interval, markers,
                          part_lengths=tlm_parts if cfg.tlm else None)
 
     if cfg.tlm:

@@ -44,12 +44,24 @@ Everything is uint32/int32 (no x64 dependency); works identically on CPU
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ffmpeg_ht_tpu.ops import tables as tb
+
+# Measurable kernel variants (ARCHITECTURE.md "remaining levers"),
+# comma-separated in FFMPEG_HT_TPU_KERNEL_VARIANTS, read at import:
+#   cxt_i8        — int8 MXU matmul for the CxtVLC one-hot row pick
+#   refill_gather — take_along_axis gathers instead of masked sweeps
+#                   for the register-window refills
+# Bit-exactness of every variant is pinned by tests/test_ht_scan_dims.py
+# (same outputs as the default formulation on the oracle corpus).
+_VARIANTS = frozenset(
+    v for v in os.environ.get("FFMPEG_HT_TPU_KERNEL_VARIANTS",
+                              "").split(",") if v)
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -68,6 +80,12 @@ def _split_tbl(t):
 
 _CXT0_NP = _split_tbl(tb.CXTVLC_PACKED[0].astype(np.int64))
 _CXT1_NP = _split_tbl(tb.CXTVLC_PACKED[1].astype(np.int64))
+
+# int8 variant: the byte planes live value-shifted by -128 so they fit
+# int8; the one-hot dot picks exactly one entry, so adding 128 back to
+# the int32 accumulation is exact.
+_CXT0_I8 = (_CXT0_NP - 128.0).astype(np.int8)
+_CXT1_I8 = (_CXT1_NP - 128.0).astype(np.int8)
 
 _AR32 = np.arange(32, dtype=np.int32)
 
@@ -215,6 +233,25 @@ def refill_top_staged(words_g, st, lim, S: int, G: int):
     return (pos, widx, tuple(w))
 
 
+def refill_top_gather(words, st, lim, S: int):
+    """Gather-variant refill: one take_along_axis per refill instead of
+    masked sweeps — wins iff the TPU lowers it to a real dynamic-gather
+    (~13 ns/elt measured) rather than a select chain. Semantics parity
+    with _fetch: beyond lim synthesizes 0xFF bytes, other out-of-range
+    reads give 0."""
+    pos, widx, w = st
+    K = len(w)
+    N, W = words.shape
+    idx = widx[:, None] + (K - S) + jnp.arange(S, dtype=I32)[None, :]
+    vals = jnp.take_along_axis(words, jnp.clip(idx, 0, W - 1), axis=1)
+    vals = jnp.where(idx >= lim[:, None], jnp.uint32(0xFFFFFFFF),
+                     jnp.where(idx >= W, jnp.uint32(0), vals))
+    w = list(w)
+    for s in range(S):
+        w[K - S + s] = vals[:, s]
+    return (pos, widx, tuple(w))
+
+
 def _budget(C: int):
     """(K, S) for a per-iteration consumption budget of C bits."""
     S = (31 + C) // 32
@@ -285,6 +322,19 @@ def _cxtvlc(code, context, tbl_split):
     hi = idx >> 5
     lo = idx & 31
     ar = jnp.asarray(_AR32)[None, :]
+    if "cxt_i8" in _VARIANTS:
+        # int8 MXU path: ~4x the per-cycle MACs of the f32 form
+        tbl_i8 = _CXT0_I8 if tbl_split is _CXT0_NP else _CXT1_I8
+        ohh = (hi[:, None] == ar).astype(jnp.int8)
+        rows64 = jax.lax.dot_general(
+            ohh, jnp.asarray(tbl_i8), (((1,), (0,)), ((), ())),
+            preferred_element_type=I32) + 128
+        r = rows64.reshape(-1, 2, 32)
+        for bit in (4, 3, 2, 1, 0):
+            half = r.shape[2] // 2
+            take = (((lo >> bit) & 1) == 1)[:, None, None]
+            r = jnp.where(take, r[:, :, half:], r[:, :, :half])
+        return r[:, 0, 0] + (r[:, 1, 0] << 8)
     ohh = (hi[:, None] == ar).astype(jnp.float32)
     rows64 = ohh @ jnp.asarray(tbl_split)          # (N, 64) both bytes
     # column pick by a 5-level binary select tree over both byte planes
@@ -580,14 +630,22 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
             a2v = a2v & rowact
         return a1v, a2v
 
+    use_gather = "refill_gather" in _VARIANTS
+
     def refill_ms(msst):
+        if use_gather:
+            return refill_top_gather(msw, msst, mslim, MS_S)
         return refill_top_staged(ms_g, msst, mslim, MS_S, MS_G)
 
     def refill_row(vst, mst):
         """Once-per-row VLC+MEL refill (outside the inner duo scan)."""
-        vst = refill_top_staged(vlc_g, vst, vlim, VLC_S, VLC_G)
         mwin, mk, mrun, mone = mst
-        mwin = refill_top_staged(mel_g, mwin, mlim, MEL_S, MEL_G)
+        if use_gather:
+            vst = refill_top_gather(vlcw, vst, vlim, VLC_S)
+            mwin = refill_top_gather(melw, mwin, mlim, MEL_S)
+        else:
+            vst = refill_top_staged(vlc_g, vst, vlim, VLC_S, VLC_G)
+            mwin = refill_top_staged(mel_g, mwin, mlim, MEL_S, MEL_G)
         return vst, (mwin, mk, mrun, mone)
 
     def ctx_first(sp):
