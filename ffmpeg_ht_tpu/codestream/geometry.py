@@ -19,8 +19,15 @@ from ffmpeg_ht_tpu.codestream.structures import (CodingStyle, MainHeader,
 from ffmpeg_ht_tpu.codestream.tagtree import TagTree
 from ffmpeg_ht_tpu.utils.errors import InvalidData
 
-F_LFTG_K = 1.230174104914001
-F_LFTG_X = 0.812893066115961
+# float32 literals in the reference (jpeg2000dwt.h:33-34 have the `f`
+# suffix) — the stepsize chain composes THESE values, and pow() sees the
+# float32-rounded base promoted to double; using the double literals
+# drifts the product by ulps that surface as +-1 LSB pixels in the
+# 9/7-int path (found by tools/fuzz_params.py)
+import numpy as _np
+
+F_LFTG_K = float(_np.float32(1.230174104914001))
+F_LFTG_X = float(_np.float32(0.812893066115961))
 
 
 def ceildiv(a: int, b: int) -> int:
@@ -124,28 +131,41 @@ class Tile:
 
 def band_stepsize(codsty: CodingStyle, qntsty: QuantStyle, bandno: int,
                   gbandno: int, reslevelno: int, cbps: int) -> tuple:
-    """(f_stepsize, i_stepsize) per init_band_stepsize (jpeg2000.c:214-272)."""
+    """(f_stepsize, i_stepsize) per init_band_stepsize (jpeg2000.c:214-272).
+
+    f_stepsize is a C *float* field in the reference: every `*=` rounds
+    the double product back to float32 on store. Composing the chain in
+    double and rounding once at the end differs by 1 ulp near rounding
+    boundaries, which surfaces as +-1 LSB pixels in the 9/7-int path at
+    high bit depths (found by tools/fuzz_params.py trial 199)."""
+    import numpy as np
+
     if qntsty.quantsty == mk.QSTY_NONE:
-        f = 1.0
+        f = np.float32(1.0)
     else:  # QSTY_SI falls through to QSTY_SE in the reference too
         gain = cbps
-        f = exp2fi(gain - qntsty.expn[gbandno])
-        f *= qntsty.mant[gbandno] / 2048.0 + 1.0
+        f = np.float32(exp2fi(gain - qntsty.expn[gbandno]))
+        f = np.float32(float(f) * (qntsty.mant[gbandno] / 2048.0 + 1.0))
 
     if codsty.transform != mk.DWT53:
         lband = 0
         bp = bandno + (1 if reslevelno > 0 else 0)
         if bp in (1, 2):
-            f *= F_LFTG_X * 2
+            f = np.float32(float(f) * (F_LFTG_X * 2))
             lband = 1
         elif bp == 3:
-            f *= F_LFTG_X * F_LFTG_X * 4
-        f *= F_LFTG_K ** (2 * (codsty.nreslevels2decode - reslevelno) + lband - 2)
+            # C: F_LFTG_X * F_LFTG_X rounds to float before the * 4
+            xx = float(np.float32(F_LFTG_X * F_LFTG_X))
+            f = np.float32(float(f) * (xx * 4))
+        f = np.float32(float(f) * F_LFTG_K
+                       ** (2 * (codsty.nreslevels2decode - reslevelno)
+                           + lband - 2))
 
-    if f > ((1 << 31) - 1) >> 15:
-        f = 0.0
-    i = int(math.floor(f * (1 << 15)))
-    return f, i
+    if float(f) > ((1 << 31) - 1) >> 15:
+        f = np.float32(0.0)
+    # (int)floorf(f_stepsize * (1 << 15)): float multiply, then floor
+    i = int(math.floor(float(f * np.float32(1 << 15))))
+    return float(f), i
 
 
 def _init_band(comp: Component, codsty: CodingStyle, qntsty: QuantStyle,
