@@ -31,13 +31,14 @@ FFMPEG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
                       "third_party", "ffmpeg-build", "ffmpeg")
 
 
-def ref_decode(data: bytes) -> bytes:
+def ref_decode(data: bytes, *args) -> bytes:
     with tempfile.NamedTemporaryFile(suffix=".j2k", delete=False) as f:
         f.write(data)
         p = f.name
     try:
         r = subprocess.run([FFMPEG, "-loglevel", "error", "-flags",
-                            "+bitexact", "-i", p, "-f", "rawvideo", "-"],
+                            "+bitexact", *args, "-i", p,
+                            "-f", "rawvideo", "-"],
                            capture_output=True, timeout=60)
     finally:
         os.unlink(p)
@@ -131,6 +132,17 @@ def run_trial(rng, cfg) -> "str | None":
     ours = decode_frame(data, bitexact=True).tobytes()
     if ours != ref:
         return "our decode != reference decode"
+    # lowres axis: every resolution-reduced reconstruction must match
+    # the reference's -lowres output too (exercises the discard-zone
+    # parse against an independent implementation)
+    nres = cfg["kw"].get("nreslevels", 1)
+    if nres >= 2 and rng.random() < 0.3:
+        r = int(rng.integers(1, nres))
+        lr_ref = ref_decode(data, "-lowres", str(r))
+        lr_ours = decode_frame(data, bitexact=True,
+                               reduction_factor=r).tobytes()
+        if lr_ours != lr_ref:
+            return f"lowres r={r} decode != reference -lowres"
     return None
 
 
