@@ -280,9 +280,20 @@ def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
 
     def program(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim, qws, qhs,
                 magb, istep, scale97, fscale, pf_idx, pf_val):
-        mu, _sig, ok = _cleanup_impl(
-            msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
-            qw=qw, qh=qh, ms_class=ms_class, dims=(qws, qhs))
+        from ffmpeg_ht_tpu.ops.ht_scan import _VARIANTS
+        if "pallas" in _VARIANTS:
+            # VMEM-resident Mosaic formulation (same math, lane-blocked;
+            # ops/ht_scan_pallas.py). Interpret off-TPU.
+            from ffmpeg_ht_tpu.ops.ht_scan_pallas import \
+                decode_cleanup_pallas
+            mu, _sig, ok = decode_cleanup_pallas(
+                msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim, qws, qhs,
+                qw=qw, qh=qh, ms_class=ms_class,
+                interpret=jax.default_backend() == "cpu")
+        else:
+            mu, _sig, ok = _cleanup_impl(
+                msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
+                qw=qw, qh=qh, ms_class=ms_class, dims=(qws, qhs))
 
         # mu arrives rasterized (N, 2qh, 2qw) straight from the scan
         # kernel (ht_scan._mu_rows): the old quad->raster transpose

@@ -317,12 +317,12 @@ def _mel_sym(mst, active):
 # ---------------------------------------------------------------------------
 
 
-def _cxtvlc(code, context, tbl_split):
+def _cxtvlc(code, context, tbl_split, ar32=None):
     idx = (context << 7) | code.astype(I32)
     hi = idx >> 5
     lo = idx & 31
-    ar = jnp.asarray(_AR32)[None, :]
-    if "cxt_i8" in _VARIANTS:
+    ar = (jnp.asarray(_AR32) if ar32 is None else ar32)[None, :]
+    if "cxt_i8" in _VARIANTS and isinstance(tbl_split, np.ndarray):
         # int8 MXU path: ~4x the per-cycle MACs of the f32 form
         tbl_i8 = _CXT0_I8 if tbl_split is _CXT0_NP else _CXT1_I8
         ohh = (hi[:, None] == ar).astype(jnp.int8)
@@ -348,7 +348,7 @@ def _cxtvlc(code, context, tbl_split):
     return packed.astype(I32)
 
 
-def _sig_emb_pair(mst, vst, tbl_f32, c1, c2_fn, a1v, a2v):
+def _sig_emb_pair(mst, vst, tbl_f32, c1, c2_fn, a1v, a2v, ar32=None):
     """MEL-gated CxtVLC decode (jpeg2000htdec.c:510-531) for BOTH quads
     of a pair from ONE 32-bit peek (two codewords total <= 14 bits) and
     ONE combined drop — quad 2's context comes from quad 1's sig pattern
@@ -359,7 +359,7 @@ def _sig_emb_pair(mst, vst, tbl_f32, c1, c2_fn, a1v, a2v):
         melled = active & (context == 0)
         sym, mst = _mel_sym(mst, melled)
         read = active & ((context != 0) | (sym == 1))
-        packed = _cxtvlc(code, context, tbl_f32)
+        packed = _cxtvlc(code, context, tbl_f32, ar32)
         ln = jnp.where(read, (packed & 0xF) >> 1, 0)
         res = jnp.where(read, packed & 1, 0)
         sp = jnp.where(read, (packed >> 4) & 0xF, 0)
@@ -562,7 +562,7 @@ def _mu_rows(quads):
 
 def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
                   qw: int, qh: int, ms_class: int, dims=None,
-                  unroll: int = 1):
+                  unroll: int = 1, consts=None):
     """Decode N codeblocks' cleanup segments in lockstep (v2).
 
     msw/melw/vlcw: uint32 (N, W) dense bit streams (ht_batch.prepare_streams
@@ -610,11 +610,20 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
     mel_g = group_view(melw, MEL_G)
     ms_g = group_view(msw, MS_G)
 
-    tbl0, tbl1 = _CXT0_NP, _CXT1_NP
-    a1_pairs = jnp.asarray(
-        np.array([2 * p < qw for p in range(2 * P2)]).reshape(P2, 2))
-    a2_pairs = jnp.asarray(
-        np.array([2 * p + 1 < qw for p in range(2 * P2)]).reshape(P2, 2))
+    if consts is None:
+        tbl0, tbl1 = _CXT0_NP, _CXT1_NP
+        ar32 = None
+        a1_pairs = jnp.asarray(
+            np.array([2 * p < qw for p in range(2 * P2)]).reshape(P2, 2))
+        a2_pairs = jnp.asarray(
+            np.array([2 * p + 1 < qw
+                      for p in range(2 * P2)]).reshape(P2, 2))
+    else:
+        # Pallas path: constant tables arrive as kernel inputs (Mosaic
+        # forbids closure-captured constants); masks arrive as int
+        tbl0, tbl1, ar32, a1_pairs, a2_pairs = consts
+        a1_pairs = a1_pairs.astype(bool)
+        a2_pairs = a2_pairs.astype(bool)
     pair_idx = jnp.arange(2 * P2, dtype=I32).reshape(P2, 2)
 
     def pair_masks(a1, a2, p, rowact):
@@ -665,7 +674,7 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
         vst, mst, msst, ok = st
         ((r1, sp1, ek1, e11), (r2, sp2, ek2, e12), c2, mst,
          vst) = _sig_emb_pair(mst, vst, tbl0, context, ctx_first, a1v,
-                              a2v)
+                              a2v, ar32)
         context = jnp.where(a2v, ctx_first(sp2),
                             jnp.where(a1v, c2, context))
         u1, u2, mst, vst = _u_pair_initial(mst, vst, r1, r2, a1v, a2v)
@@ -758,7 +767,7 @@ def _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
          vst) = _sig_emb_pair(
             mst, vst, tbl1, c1,
             lambda sp: cA2[:, 1] | ((((sp >> 2) | (sp >> 3)) & 1) << 1),
-            a1v, a2v)
+            a1v, a2v, ar32)
         u1, u2, vst = _u_pair_noninit(vst, r1, r2, a1v, a2v)
         U1 = jnp.maximum(1, gamma_of(sp1) * (kmax2[:, 0] - 1)) + u1
         U2 = jnp.where(

@@ -54,3 +54,9 @@ def test_kernel_variants_bit_exact():
     base = _digest("")
     assert _digest("cxt_i8") == base
     assert _digest("refill_gather,cxt_i8") == base
+
+
+def test_pallas_variant_bit_exact():
+    """The Mosaic (pallas) cleanup variant through the full Decoder
+    front door — interpret mode off-TPU."""
+    assert _digest("pallas") == _digest("")
