@@ -80,32 +80,52 @@ bench_n("N=25284 (4 frames)", 25284)
 bench("unroll=2", unroll=2)
 bench("unroll=4", unroll=4)
 
-# int8 one-hot matmul for CxtVLC (v5e MXU int8 = 2x bf16 rate)
-orig_cxt = HS._cxtvlc
-def _cxtvlc_i8(code, context, tbl_split):
-    idx = (context << 7) | code.astype(HS.I32)
-    hi = idx >> 5
-    lo = idx & 31
-    ar = jnp.asarray(HS._AR32)[None, :]
-    ohh = (hi[:, None] == ar).astype(jnp.int8)
-    t8lo = jnp.asarray((np.asarray(tbl_split).astype(np.int64)
-                        & 0x7F).astype(np.int8))
-    t8hi = jnp.asarray((np.asarray(tbl_split).astype(np.int64)
-                        >> 7).astype(np.int8))
-    r = jax.lax.dot(ohh, jnp.concatenate([t8lo, t8hi], axis=1),
-                    preferred_element_type=jnp.int32)
-    rows64 = r[:, :64] + (r[:, 64:] << 7)
-    sel = lo[:, None] == ar
-    z = jnp.int32(0)
-    packed = jnp.sum(jnp.where(sel, rows64[:, :32], z), axis=1) \
-        + 256 * jnp.sum(jnp.where(sel, rows64[:, 32:], z), axis=1)
-    return packed
-HS._cxtvlc = _cxtvlc_i8
-bench("int8 cxtvlc")
-HS._cxtvlc = orig_cxt
+# int8 one-hot matmul for CxtVLC — now the shipped cxt_i8 variant;
+# measure it by flipping the module toggle (read once at import, but
+# _VARIANTS is just a frozenset — rebind for the ablation)
+orig_variants = HS._VARIANTS
+HS._VARIANTS = frozenset({"cxt_i8"})
+bench("int8 cxtvlc (cxt_i8 variant)")
+HS._VARIANTS = frozenset({"cxt_i8", "refill_gather"})
+bench("cxt_i8 + refill_gather variants")
+HS._VARIANTS = frozenset({"refill_gather"})
+bench("refill_gather variant")
+HS._VARIANTS = orig_variants
+
+# Pallas VMEM-resident formulation (ops/ht_scan_pallas.py)
+try:
+    from ffmpeg_ht_tpu.ops.ht_scan_pallas import decode_cleanup_pallas
+
+    def bench_pallas(tag, block, reps=3, iters=5):
+        @jax.jit
+        def k(msw, melw, vlcw):
+            mu, _s, ok = decode_cleanup_pallas(
+                msw, melw, vlcw, pLSB, maxbp, lim, lim, qws, qhs,
+                qw=32, qh=32, ms_class=16, block=block)
+            return jnp.sum(mu, dtype=jnp.uint32) + jnp.uint32(jnp.all(ok))
+        t0 = time.perf_counter(); s = k(msw, melw, vlcw); sync(s)
+        c = time.perf_counter() - t0
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                s = k(msw, melw, vlcw)
+            sync(s)
+            best = min(best, (time.perf_counter()-t0)/iters)
+        print(f"{tag}: {best*1e3:.2f} ms   (compile {c:.0f}s)", flush=True)
+
+    for blk in (128, 256, 512):
+        try:
+            bench_pallas(f"pallas block={blk}", blk)
+        except Exception as e:
+            print(f"pallas block={blk}: FAILED {e!r:.200}", flush=True)
+except Exception as e:
+    print(f"pallas import failed: {e!r:.120}", flush=True)
 
 # stub cxtvlc entirely (upper bound of any lookup optimization)
-HS._cxtvlc = lambda code, context, tbl: (code.astype(jnp.int32) << 4) | 5
+orig_cxt = HS._cxtvlc
+HS._cxtvlc = lambda code, context, tbl, ar32=None: \
+    (code.astype(jnp.int32) << 4) | 5
 bench("no cxtvlc (bound)")
 HS._cxtvlc = orig_cxt
 
