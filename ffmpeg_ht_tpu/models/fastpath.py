@@ -317,13 +317,20 @@ def parse_frame_flat(hdr, fg: FlatGeometry) -> Optional[dict]:
         cols["body"] = full
     else:
         # gather each codeblock's per-layer segments into one contiguous
-        # run (vectorized per lane-chunk: per-position segment id via
-        # <= nlayers comparisons; chunked to bound the (chunk, L) temps)
+        # run — pure data movement, native memcpy loop (seggather.c;
+        # the vectorized numpy fallback below cost ~580 ms on an 8K
+        # 2-layer frame against ~3 ms native)
         tot = cols["len"]
         N = len(tot)
         new_off = np.zeros(N, np.int64)
         np.cumsum(tot[:-1], out=new_off[1:])
         buf = np.frombuffer(full, np.uint8)
+        out = native.seg_gather(buf, seg_off, seg_len, cols["nseg"],
+                                new_off, int(tot.sum()))
+        if out is not None:
+            cols["off"] = new_off
+            cols["body"] = out.tobytes()
+            return _finish_cols(cols)
         out_body = np.zeros(int(tot.sum()), np.uint8)
         cum = np.cumsum(seg_len, axis=1)               # (N, S)
         prev = np.concatenate(
@@ -348,6 +355,10 @@ def parse_frame_flat(hdr, fg: FlatGeometry) -> Optional[dict]:
         cols["off"] = new_off
         cols["body"] = out_body.tobytes()
 
+    return _finish_cols(cols)
+
+
+def _finish_cols(cols: dict) -> dict:
     # error parity with the object path (_build_batch raises on lcup < 2
     # for any included codeblock; ht_dec.py:618-619)
     inc = cols["incl"].astype(bool) & (cols["npasses"] > 0)

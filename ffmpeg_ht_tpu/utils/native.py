@@ -258,6 +258,47 @@ def t2_parse_packets(body: bytes, pkt_nband, pkt_csty, pkt_style,
 
 
 # ---------------------------------------------------------------------------
+# Multi-layer segment gather (native/seggather.c)
+# ---------------------------------------------------------------------------
+
+_SEG_BOUND = False
+
+
+def seg_gather(body, seg_off, seg_len, nseg, new_off, out_len: int):
+    """Concatenate each codeblock's per-layer segments into one run.
+
+    body: uint8 array; seg_off/seg_len: (N, S) int64; nseg: (N,) int32;
+    new_off: (N,) int64 destination offsets. Returns the uint8 output
+    buffer or None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    global _SEG_BOUND
+    if not _SEG_BOUND:
+        lib.seg_gather.restype = ctypes.c_int
+        lib.seg_gather.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_int32, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.c_void_p, ctypes.c_int64]
+        _SEG_BOUND = True
+    n, max_segs = seg_off.shape
+    out = np.zeros(out_len, np.uint8)
+    rc = lib.seg_gather(
+        body.ctypes.data, len(body),
+        np.ascontiguousarray(seg_off, np.int64).ctypes.data,
+        np.ascontiguousarray(seg_len, np.int64).ctypes.data,
+        max_segs,
+        np.ascontiguousarray(nseg, np.int32).ctypes.data,
+        np.ascontiguousarray(new_off, np.int64).ctypes.data,
+        n, out.ctypes.data, out_len)
+    if rc != 0:
+        from ffmpeg_ht_tpu.utils.errors import InvalidData
+        raise InvalidData("segment gather out of bounds")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Legacy EBCOT/MQ decoder (native/ebcot.c)
 # ---------------------------------------------------------------------------
 
