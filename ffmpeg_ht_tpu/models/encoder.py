@@ -871,6 +871,12 @@ def _emit_tile_parts(out: bytearray, tileno: int, body: bytes,
                 cuts.append(boundaries[i - 1])
     if cuts[-1] != len(body):
         cuts.append(len(body))
+    if len(cuts) - 1 > 32:
+        # the reference decoder reads at most 32 tile-parts per tile
+        # (jpeg2000dec.h tile_part[32]); fold the tail into part 32 so
+        # every stream we emit stays reference-decodable (T.800 allows
+        # 255, and our own decoder reads any count)
+        cuts = cuts[:32] + [cuts[-1]]
     nparts = len(cuts) - 1
     for tp in range(nparts):
         seg = body[cuts[tp]:cuts[tp + 1]]

@@ -77,7 +77,12 @@ def draw_config(rng: np.random.Generator) -> dict:
     lossy = rng.random() < 0.25 and not refinement
     if lossy:
         kw["pred"] = 0
-    if ncomp >= 3 and rng.random() < 0.4:
+    cfgx = {}
+    if ncomp == 3 and rng.random() < 0.3:
+        cfgx["chroma_shift"] = (int(rng.integers(0, 2)),
+                                int(rng.integers(0, 2)))
+    if ncomp >= 3 and cfgx.get("chroma_shift", (0, 0)) == (0, 0) \
+            and rng.random() < 0.4:
         kw["mct"] = True
     if not lossy and not refinement and not kw.get("ht_plhd_single") \
             and rng.random() < 0.15:
@@ -106,7 +111,7 @@ def draw_config(rng: np.random.Generator) -> dict:
                                  "cprl"]))),
             ]
     return dict(h=h, w=w, ncomp=ncomp, depth=depth,
-                refinement=refinement, lossy=lossy, kw=kw)
+                refinement=refinement, lossy=lossy, kw=kw, **cfgx)
 
 
 def run_trial(rng, cfg) -> "str | None":
@@ -114,21 +119,46 @@ def run_trial(rng, cfg) -> "str | None":
     from ffmpeg_ht_tpu.models.host_decoder import decode_frame
 
     dt = np.uint8 if cfg["depth"] <= 8 else np.uint16
-    img = rng.integers(0, 1 << cfg["depth"],
-                       (cfg["h"], cfg["w"], cfg["ncomp"]),
-                       dtype=dt)
+    shift = cfg.get("chroma_shift", (0, 0))
     if cfg["ncomp"] == 1:
-        img = img[:, :, 0]
-    data = encode_frame_htj2k(img, depth=cfg["depth"],
+        img = rng.integers(0, 1 << cfg["depth"], (cfg["h"], cfg["w"]),
+                           dtype=dt)
+        planes = img
+    elif shift != (0, 0):
+        # subsampled planar input (4:2:0 / 4:2:2-style); the reference
+        # decodes it back as planar yuv
+        from ffmpeg_ht_tpu.codestream.geometry import ceildiv
+        planes = [rng.integers(0, 1 << cfg["depth"],
+                               (ceildiv(cfg["h"], (1 << shift[1])
+                                        if (i + 1) & 2 else 1),
+                                ceildiv(cfg["w"], (1 << shift[0])
+                                        if (i + 1) & 2 else 1)),
+                               dtype=dt)
+                  for i in range(cfg["ncomp"])]
+        img = None
+    else:
+        img = rng.integers(0, 1 << cfg["depth"],
+                           (cfg["h"], cfg["w"], cfg["ncomp"]), dtype=dt)
+        planes = img
+    data = encode_frame_htj2k(planes if img is None else img,
+                              depth=cfg["depth"], chroma_shift=shift,
                               refinement=cfg["refinement"], **cfg["kw"])
     ref = ref_decode(data)
     if not cfg["lossy"]:
         # reference-judged conformance: an independent decoder must
-        # reconstruct the source (16-bit output is MSB-aligned)
-        src = img if cfg["depth"] in (8, 16) else \
-            (img.astype(np.uint16) << (16 - cfg["depth"]))
-        if ref != src.tobytes():
-            return "reference decode != source (non-conformant stream?)"
+        # reconstruct the source (16-bit output is MSB-aligned;
+        # subsampled input comes back planar)
+        def msb(p):
+            return p if cfg["depth"] in (8, 16) else \
+                (p.astype(np.uint16) << (16 - cfg["depth"]))
+        if img is not None:
+            # subsampled (planar) outputs skip this check: the
+            # reference negotiates native-precision yuv pix fmts whose
+            # raw layout this harness does not model; the byte-exact
+            # ours-vs-reference comparison below still holds
+            if ref != msb(img).tobytes():
+                return "reference decode != source " \
+                    "(non-conformant stream?)"
     ours = decode_frame(data, bitexact=True).tobytes()
     if ours != ref:
         return "our decode != reference decode"
