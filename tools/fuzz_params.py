@@ -114,6 +114,13 @@ def draw_config(rng: np.random.Generator) -> dict:
                 refinement=refinement, lossy=lossy, kw=kw, **cfgx)
 
 
+try:
+    from PIL import features as _pil_features
+    _PIL_J2K = _pil_features.check("jpg_2000")
+except Exception:
+    _PIL_J2K = False
+
+
 def run_trial(rng, cfg) -> "str | None":
     from ffmpeg_ht_tpu.models.encoder import encode_frame_htj2k
     from ffmpeg_ht_tpu.models.host_decoder import decode_frame
@@ -162,6 +169,25 @@ def run_trial(rng, cfg) -> "str | None":
     ours = decode_frame(data, bitexact=True).tobytes()
     if ours != ref:
         return "our decode != reference decode"
+    # third vote: OpenJPEG (via Pillow, zero shared code with us or the
+    # reference) must also reconstruct the source on configs it covers.
+    # Outside its coverage (probed, not our bugs): MIXED streams (its HT
+    # decoder is HTONLY-scoped); HT pass segments split across layers
+    # (refinement + ht_layers>=2 -> multi-chunk codeblocks, which it
+    # rejects at any depth); >8-bit RGB (Pillow renders it 8-bit).
+    if _PIL_J2K and not cfg["lossy"] and img is not None \
+            and (cfg["ncomp"] == 1
+                 or (cfg["ncomp"] == 3 and cfg["depth"] == 8)) \
+            and not cfg["kw"].get("ht_mixed") \
+            and not (cfg["refinement"]
+                     and cfg["kw"].get("ht_layers", 1) >= 2):
+        import io
+        from PIL import Image
+        arr = np.asarray(Image.open(io.BytesIO(data)))
+        want = img if cfg["depth"] in (8, 16) else \
+            (img.astype(np.uint16) << (16 - cfg["depth"]))
+        if arr.tobytes() != want.tobytes():
+            return "openjpeg decode != source"
     # lowres axis: every resolution-reduced reconstruction must match
     # the reference's -lowres output too (exercises the discard-zone
     # parse against an independent implementation)
