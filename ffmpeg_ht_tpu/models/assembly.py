@@ -239,7 +239,7 @@ def _compose_plane(ras, plane: PlanePlan, lane_off: int, dtype):
 def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
                     ms_class: int, n_pad: int, frames: int,
                     donate: bool = False, as_jit: bool = True,
-                    no_istep: bool = False):
+                    no_istep: bool = False, wire_pack: bool = False):
     """Build the fused jitted decode program for one geometry.
 
     Signature of the returned jit:
@@ -253,7 +253,13 @@ def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
     shape/dtype whose buffer is donated — on the bench platform a fresh
     output buffer costs ~0.3 GB/s to materialize, so steady-state loops
     must recycle one: out = fn(out, **args).
+
+    wire_pack=True (9..15-bit content only) bit-packs the output into
+    uint32 words on device (ops/wirepack.py) so a link-bound fetch moves
+    depth/16 of the uint16 bytes; the host inverts with unpack_words.
     """
+    if wire_pack:
+        assert 8 < geom_key[5] < 16, "wire_pack needs 9..15-bit content"
     import jax
     import jax.numpy as jnp
 
@@ -407,6 +413,13 @@ def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
 
         # ok flag: real (non-inert) lanes only; inert lanes pass trivially
         flag = jnp.all(ok)
+        if wire_pack:
+            from ffmpeg_ht_tpu.ops.wirepack import pack_words
+            samples = jnp.concatenate(
+                [c.astype(jnp.uint32).reshape(-1) for c in final])
+            return jnp.concatenate(
+                [pack_words(samples, cbps), flag.astype(jnp.uint32)
+                 .reshape(1)])
         dtype = jnp.uint8 if cbps <= 8 else jnp.uint16
         return jnp.concatenate(
             [c.astype(dtype).reshape(-1) for c in final]
@@ -421,9 +434,12 @@ def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
     return jax.jit(program)
 
 
-def packed_shape(geom_key: Tuple, frames: int):
+def packed_shape(geom_key: Tuple, frames: int, wire_pack: bool = False):
     """(shape, numpy dtype) of the packed output for `frames` frames."""
     total = geom_key[6]
     cbps = geom_key[5]
+    if wire_pack:
+        from ffmpeg_ht_tpu.ops.wirepack import wire_shape
+        return wire_shape(frames * total, cbps)
     dt = np.uint8 if cbps <= 8 else np.uint16
     return (frames * total + 1,), dt

@@ -458,7 +458,8 @@ def _entropy_stage(shapes, bucket_args):
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
+def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple,
+                       wire_pack: bool = False):
     """Per-geometry device program: dequant + scatter + DWT + MCT.
 
     Cheap to compile relative to the entropy kernels; takes the per-bucket
@@ -591,6 +592,13 @@ def _compiled_assembly(bucket_shapes: Tuple, geom_key: Tuple):
 
         # one packed output buffer: a single (narrow-dtype) fetch replaces
         # one 24ms sync round-trip per plane over the device link
+        if wire_pack:
+            from ffmpeg_ht_tpu.ops.wirepack import pack_words
+            samples = jnp.concatenate(
+                [c.astype(jnp.uint32).reshape(-1) for c in final])
+            return jnp.concatenate(
+                [pack_words(samples, cbps),
+                 flag.astype(jnp.uint32).reshape(1)])
         dtype = jnp.uint8 if cbps <= 8 else jnp.uint16
         return jnp.concatenate([c.astype(dtype).reshape(-1) for c in final]
                                + [flag.astype(dtype).reshape(1)])
@@ -606,11 +614,32 @@ class Decoder:
     """
 
     def __init__(self, bitexact: bool = True, reduction_factor: int = 0,
-                 max_layers: int = 0):
+                 max_layers: int = 0, wire_pack: bool = False):
         self.bitexact = bitexact
         self.reduction_factor = reduction_factor
         self.max_layers = max_layers
+        # wire_pack: bit-pack 9..15-bit output on device (ops/wirepack.py)
+        # so a link-bound fetch moves depth/16 of the uint16 bytes, at the
+        # cost of a host-side unpack. Off by default: direct-attached
+        # deployments fetch at HBM-class rates where the unpack only adds
+        # host work.
+        self.wire_pack = wire_pack
         _enable_persistent_cache()
+
+    def _wp(self, cbps: int) -> bool:
+        return self.wire_pack and 8 < cbps < 16
+
+    def _fetch_buf(self, packed, total: int, cbps: int) -> np.ndarray:
+        """One host sync: fetch the packed output, unpacking the wire
+        format when the program was built with wire_pack."""
+        buf = np.asarray(packed)
+        if buf.dtype == np.uint32:
+            from ffmpeg_ht_tpu.ops.wirepack import unpack_words
+            out = np.empty(total + 1, np.uint16)
+            unpack_words(buf[:-1], cbps, total, out=out)
+            out[-1] = np.uint16(buf[-1])
+            return out
+        return buf
 
     def decode(self, data: bytes) -> DecodedFrame:
         hdr = parse_codestream(data, bitexact=self.bitexact,
@@ -757,7 +786,8 @@ class Decoder:
 
         gm = _replicate_geometry(g0, F)
 
-        buf = np.asarray(self._dispatch(gm, merged, prefill))
+        buf = self._fetch_buf(self._dispatch(gm, merged, prefill),
+                              gm.total, gm.cbps)
         if buf[-1] == 0:
             raise InvalidData("invalid HT codestream (U bound violated)")
 
@@ -945,7 +975,8 @@ class Decoder:
         import jax.numpy as jnp
 
         mus, oks = _entropy_stage(shapes, bucket_args)
-        fn = _compiled_assembly(tuple(shapes), geom.key())
+        fn = _compiled_assembly(tuple(shapes), geom.key(),
+                                wire_pack=self._wp(geom.cbps))
         return fn(jnp.asarray(pf_idx), jnp.asarray(pf_val), mus, oks,
                   bucket_args)
 
@@ -1001,13 +1032,15 @@ class Decoder:
         # lossless (QSTY_NONE) frames: istep is uniformly the identity
         # 32768, so the dequant multiply is dead — compile it out
         no_istep = bool(np.all(np.asarray(args["istep"]) == 32768))
-        key = (F, ms_class, no_istep)
+        wp = self._wp(fg.geom.cbps)
+        key = (F, ms_class, no_istep, wp)
         prog = fg.v3_progs.get(key)
         if prog is None:
             prog = ASM.make_v3_program(
                 fg.v3_plan, fg.geom.key(), qw=fg.v3_plan.bw // 2,
                 qh=fg.v3_plan.bh // 2, ms_class=ms_class,
-                n_pad=fg.ncblks, frames=F, no_istep=no_istep)
+                n_pad=fg.ncblks, frames=F, no_istep=no_istep,
+                wire_pack=wp)
             fg.v3_progs[key] = prog
         return prog(**args)
 
@@ -1045,7 +1078,7 @@ class Decoder:
             cols_list.append(cols)
         packed = self._v3_launch(fg, cols_list)
         if packed is not None:
-            buf = np.asarray(packed)
+            buf = self._fetch_buf(packed, F * total, fg.geom.cbps)
         else:
             accum = None
             for f, cols in enumerate(cols_list):
@@ -1055,8 +1088,10 @@ class Decoder:
             shapes, bucket_args, pf_idx, pf_val = FP.finish_buckets(
                 accum, F * total)
             gm = _replicate_geometry(fg.geom, F)
-            buf = np.asarray(self._dispatch_args(gm, shapes, bucket_args,
-                                                 pf_idx, pf_val))
+            buf = self._fetch_buf(
+                self._dispatch_args(gm, shapes, bucket_args,
+                                    pf_idx, pf_val),
+                gm.total, gm.cbps)
         if buf[-1] == 0:
             raise InvalidData("invalid HT codestream (U bound violated)")
         frames = []
@@ -1085,7 +1120,7 @@ class Decoder:
         return self._finish(hdr, tiles, geom, packed)
 
     def _finish(self, hdr, tiles, geom, packed) -> DecodedFrame:
-        buf = np.asarray(packed)
+        buf = self._fetch_buf(packed, geom.total, geom.cbps)
         if buf[-1] == 0:
             raise InvalidData("invalid HT codestream (U bound violated)")
         outs = []
