@@ -302,6 +302,17 @@ def main() -> None:
               file=sys.stderr)
     config("c3_pipeline_tunneled", c3_pipeline)
 
+    # same pipeline with the wire bit-pack (ops/wirepack.py): 10-bit
+    # output crosses the link as packed words, 10/16 of the uint16 bytes
+    def c3_pipeline_wp():
+        dwp = Decoder(bitexact=True, wire_pack=True)
+        fps4k, mb = _time_batch(dwp, streams_4k, reps=3)
+        detail["c3_pipeline_wirepack"] = {"fps": round(fps4k, 3),
+                                          "mb_out_per_frame": round(mb, 2)}
+        print(f"# c3 4K pipeline (wirepack): {fps4k:.3f} fps",
+              file=sys.stderr)
+    config("c3_pipeline_wirepack", c3_pipeline_wp)
+
     # c3 device-compute rate: dispatch + on-device completion without
     # the packed-output fetch, but WITH per-call host->device argument
     # upload (contrast with device-resident above).
@@ -332,9 +343,11 @@ def main() -> None:
                                       log2_cblk_height=6,
                                       log2_prec_width=6,
                                       refinement=True, ht_layers=2)]
-        fps, mb = _time_batch(dec, streams, reps=2)
+        fps, mb = _time_batch(Decoder(bitexact=True, wire_pack=True),
+                              streams, reps=2)
         detail["c4_8k_tiled_prec_layers"] = {"fps": round(fps, 3),
-                                             "mb_out_per_frame": round(mb, 2)}
+                                             "mb_out_per_frame": round(mb, 2),
+                                             "wire_pack": True}
         print(f"# c4 8K tiled prec+layers: {fps:.3f} fps",
               file=sys.stderr)
     config("c4_8k_tiled_prec_layers", c4)
@@ -352,9 +365,11 @@ def main() -> None:
         mxf = mux_mxf(seq, 3840, 2160, ncomp=3, depth=10)
         streams = list(demux_mxf(mxf))
         assert streams == seq, "MXF round-trip corrupted the essence"
-        fps, mb = _time_batch(dec, streams, reps=2)
+        fps, mb = _time_batch(Decoder(bitexact=True, wire_pack=True),
+                              streams, reps=2)
         detail["c5_mxf_4k_motion"] = {"fps": round(fps, 3),
-                                      "mb_out_per_frame": round(mb, 2)}
+                                      "mb_out_per_frame": round(mb, 2),
+                                      "wire_pack": True}
         print(f"# c5 MXF 4K motion: {fps:.3f} fps", file=sys.stderr)
     config("c5_mxf_4k_motion", c5)
 
