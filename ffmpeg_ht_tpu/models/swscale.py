@@ -6,22 +6,27 @@ asks for a different pixel format (FATE's jpeg2000 tests pass
 supplies the same surface for our decoder: `convert(frame, dst_fmt)`
 returns a new DecodedFrame in the requested format.
 
-Conversions are exact integer math:
+Exactness tiers (each pinned against the reference binary under
+`-flags +bitexact` in tests/test_swscale.py):
 
-- bit-depth rescale uses the full-range remap
-  round(v * (2^dst - 1) / (2^src - 1)) — lossless for upshifts by
-  replication (v * 257 for 8->16), the standard inverse for downshifts
-  (swscale's non-dithered path).
-- gray <-> RGB by replication / BT.601 luma.
-- YCbCr <-> RGB uses the BT.601 limited-range integer coefficients
-  (the swscale default for unflagged content).
-- chroma subsampling uses a box filter down and sample-and-hold up
-  (swscale's fast bilinear degenerates to this at 2:1).
-
-Matching libswscale bit-for-bit is explicitly out of scope — its output
-depends on dither state and SIMD width; tests pin our conversions to
-the reference within ±1 LSB where a reference path exists, and exactly
-on round-trips.
+- **Byte-exact**: every same-colorspace bit-depth change. These
+  replicate libswscale's planar copy semantics
+  (libswscale/swscale_unscaled.c:2076-2265, planarCopyWrapper):
+  upshifts are MSB replication `(v << k) | (v >> (2*src-dst))` for
+  full-range planes (gray/RGB) and a plain `v << k` for limited-range
+  (YUV) planes; downshifts apply the 8x8 ordered-dither matrices
+  (DITHER_COPY) — full-range `(v - (v >> dst) + D) >> k`,
+  limited-range `t = (v + D) >> k; t - (t >> dst)`. yuv->yuv depth
+  changes run plane-direct (never through an RGB intermediate).
+  The FATE conversion pattern (`-pix_fmt rgb48le`,
+  tests/fate/jpeg2000.mak:37-41) is also exact: >8-bit RGB decodes
+  natively to MSB-aligned rgb48, so that "conversion" is an identity.
+- **±1 LSB**: colorspace transforms. gray <-> RGB by replication /
+  BT.601 luma; YCbCr <-> RGB by the BT.601 limited-range integer
+  matrix; chroma box-down / sample-and-hold up. libswscale routes
+  these through its 15/19-bit YUV intermediate pipeline whose exact
+  output depends on per-format converter selection; replicating that
+  maze is out of scope by design — tests pin these within ±1 LSB.
 """
 
 from __future__ import annotations
@@ -31,14 +36,70 @@ import numpy as np
 from ffmpeg_ht_tpu.models import pixfmt as pf
 from ffmpeg_ht_tpu.models.host_decoder import DecodedFrame
 
+# libswscale's ordered-dither matrices for depth reduction, indexed by
+# (shift - 1); unavoidable table constants from
+# libswscale/swscale_unscaled.c:38-112 (`dithers[8][8][8]`).
+_DITHERS = np.array([
+    [[0, 1, 0, 1, 0, 1, 0, 1], [1, 0, 1, 0, 1, 0, 1, 0]] * 4,
+    [[1, 2, 1, 2, 1, 2, 1, 2], [3, 0, 3, 0, 3, 0, 3, 0]] * 4,
+    [[2, 4, 3, 5, 2, 4, 3, 5], [6, 0, 7, 1, 6, 0, 7, 1],
+     [3, 5, 2, 4, 3, 5, 2, 4], [7, 1, 6, 0, 7, 1, 6, 0]] * 2,
+    [[4, 8, 7, 11, 4, 8, 7, 11], [12, 0, 15, 3, 12, 0, 15, 3],
+     [6, 10, 5, 9, 6, 10, 5, 9], [14, 2, 13, 1, 14, 2, 13, 1]] * 2,
+    [[9, 17, 15, 23, 8, 16, 14, 22], [25, 1, 31, 7, 24, 0, 30, 6],
+     [13, 21, 11, 19, 12, 20, 10, 18], [29, 5, 27, 3, 28, 4, 26, 2],
+     [8, 16, 14, 22, 9, 17, 15, 23], [24, 0, 30, 6, 25, 1, 31, 7],
+     [12, 20, 10, 18, 13, 21, 11, 19], [28, 4, 26, 2, 29, 5, 27, 3]],
+    [[18, 34, 30, 46, 17, 33, 29, 45], [50, 2, 62, 14, 49, 1, 61, 13],
+     [26, 42, 22, 38, 25, 41, 21, 37], [58, 10, 54, 6, 57, 9, 53, 5],
+     [16, 32, 28, 44, 19, 35, 31, 47], [48, 0, 60, 12, 51, 3, 63, 15],
+     [24, 40, 20, 36, 27, 43, 23, 39], [56, 8, 52, 4, 59, 11, 55, 7]],
+    [[18, 34, 30, 46, 17, 33, 29, 45], [50, 2, 62, 14, 49, 1, 61, 13],
+     [26, 42, 22, 38, 25, 41, 21, 37], [58, 10, 54, 6, 57, 9, 53, 5],
+     [16, 32, 28, 44, 19, 35, 31, 47], [48, 0, 60, 12, 51, 3, 63, 15],
+     [24, 40, 20, 36, 27, 43, 23, 39], [56, 8, 52, 4, 59, 11, 55, 7]],
+    [[36, 68, 60, 92, 34, 66, 58, 90], [100, 4, 124, 28, 98, 2, 122, 26],
+     [52, 84, 44, 76, 50, 82, 42, 74], [116, 20, 108, 12, 114, 18, 106, 10],
+     [32, 64, 56, 88, 38, 70, 62, 94], [96, 0, 120, 24, 102, 6, 126, 30],
+     [48, 80, 40, 72, 54, 86, 46, 78], [112, 16, 104, 8, 118, 22, 110, 14]],
+], dtype=np.uint32)
 
-def _rescale(a: np.ndarray, src_bits: int, dst_bits: int) -> np.ndarray:
+
+def _dither_for(shape, shift: int) -> np.ndarray:
+    """The 8x8 ordered-dither matrix for a depth reduction by `shift`
+    bits, tiled to `shape` (indexed by the plane's own row/col & 7)."""
+    d = _DITHERS[shift - 1]
+    h, w = shape
+    return np.tile(d, (-(-h // 8), -(-w // 8)))[:h, :w]
+
+
+def _rescale(a: np.ndarray, src_bits: int, dst_bits: int,
+             limited: bool = False) -> np.ndarray:
+    """Depth change with libswscale's exact planar-copy semantics.
+
+    `limited` selects the limited-range (YUV) variant; gray/RGB planes
+    are full-range (libswscale forces jpeg range for gray/RGB sources,
+    flipping DITHER_COPY's `shiftonly` off for the luma plane).
+    """
     if src_bits == dst_bits:
         return a
-    smax = (1 << src_bits) - 1
-    dmax = (1 << dst_bits) - 1
-    v = a.astype(np.int64)
-    return ((v * dmax + smax // 2) // smax)
+    v = a.astype(np.uint32)
+    if dst_bits > src_bits:                      # COPY_UP / COPY816
+        k = dst_bits - src_bits
+        if limited:
+            return v << k
+        out = v << k
+        pos = k - src_bits                       # MSB replication chain
+        while pos > -src_bits:
+            out |= (v << pos) if pos >= 0 else (v >> -pos)
+            pos -= src_bits
+        return out
+    k = src_bits - dst_bits                      # DITHER_COPY
+    d = _dither_for(a.shape, k)
+    if limited:
+        t = (v + d) >> k
+        return t - (t >> dst_bits)
+    return (v - (v >> dst_bits) + d) >> k
 
 
 _BY_NAME = {f.name: f for f in pf.ALL_FMTS}
@@ -131,6 +192,22 @@ def convert(frame: DecodedFrame, dst_name: str) -> DecodedFrame:
     h, w = frame.height, frame.width
     planes, (kind, shifts) = _to_planes16(frame)
     sbits = src.depths[0]
+    dbits = dst.depths[0]
+
+    # yuv -> yuv stays plane-direct (libswscale's planarCopyWrapper,
+    # limited-range semantics) — never through an RGB intermediate.
+    if kind == "yuv" and dst.name.startswith("yuv"):
+        dsh = (dst.log2_chroma_w, dst.log2_chroma_h)
+        y, u, v = planes[0], planes[1], planes[2]
+        if dsh != shifts:                       # chroma resample first
+            u = _hold_up(u, shifts[0], shifts[1], h, w)
+            v = _hold_up(v, shifts[0], shifts[1], h, w)
+            u = _box_down(u, dsh[0], dsh[1])
+            v = _box_down(v, dsh[0], dsh[1])
+        out = [_rescale(p, sbits, dbits, limited=True) for p in (y, u, v)]
+        dt = np.uint8 if dbits <= 8 else np.uint16
+        return DecodedFrame(fmt=dst, width=w, height=h,
+                            planes=[p.astype(dt) for p in out])
 
     # 1) source to full-res RGB-or-gray working set at source depth
     if kind == "yuv":
@@ -143,11 +220,10 @@ def convert(frame: DecodedFrame, dst_name: str) -> DecodedFrame:
     else:
         work = tuple(planes)
 
-    dbits = dst.depths[0]
     dname = dst.name
 
-    def rs(p):
-        return _rescale(p, sbits, dbits)
+    def rs(p, limited=False):
+        return _rescale(p, sbits, dbits, limited=limited)
 
     if dname.startswith("gray"):
         if len(work) == 3:
@@ -172,9 +248,9 @@ def convert(frame: DecodedFrame, dst_name: str) -> DecodedFrame:
         shifts = (dst.log2_chroma_w, dst.log2_chroma_h)
         rgb = work if len(work) == 3 else (work[0],) * 3
         y, u, v = _rgb_to_yuv(*rgb, sbits)
-        out = [rs(y),
-               rs(_box_down(u, shifts[0], shifts[1])),
-               rs(_box_down(v, shifts[0], shifts[1]))]
+        out = [rs(y, limited=True),
+               rs(_box_down(u, shifts[0], shifts[1]), limited=True),
+               rs(_box_down(v, shifts[0], shifts[1]), limited=True)]
     else:
         raise ValueError(f"unsupported destination format {dname!r}")
 

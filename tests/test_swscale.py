@@ -1,9 +1,12 @@
 """swscale-analog conversions (models/swscale.py) vs the reference.
 
-Exactness tiers: lossless ops (replication, pack/unpack, depth upshift)
-must round-trip exactly; color-space transforms must match the
+Exactness tiers: every same-colorspace bit-depth change is pinned
+BYTE-EXACT against the reference binary (libswscale's planar-copy
+semantics: MSB-replication upshifts, ordered-dither downshifts —
+swscale_unscaled.c:2076-2265); color-space transforms must match the
 reference's swscale within a small LSB budget (its exact output depends
-on dither state, which is out of scope by design).
+on its internal YUV pipeline's converter selection, out of scope by
+design).
 """
 
 import numpy as np
@@ -47,6 +50,108 @@ def test_lossless_roundtrips():
     assert np.array_equal(convert(r48, "rgb24").planes[0], rgb.planes[0])
 
 
+def _ref_convert_raw(ffmpeg, raw, w, h, src_pix, dst_pix):
+    """Reference rawvideo -> rawvideo conversion under +bitexact."""
+    import subprocess, tempfile, os
+    with tempfile.NamedTemporaryFile(suffix=".raw", delete=False) as f:
+        f.write(raw)
+        p = f.name
+    try:
+        r = subprocess.run([ffmpeg, "-loglevel", "error", "-flags",
+                            "+bitexact", "-f", "rawvideo", "-pix_fmt",
+                            src_pix, "-s", f"{w}x{h}", "-i", p,
+                            "-pix_fmt", dst_pix, "-f", "rawvideo", "-"],
+                           check=True, capture_output=True)
+    finally:
+        os.unlink(p)
+    return r.stdout
+
+
+def _planes_bytes(frame):
+    return b"".join(np.ascontiguousarray(p).tobytes() for p in frame.planes)
+
+
+@pytest.mark.parametrize("src_pix,depth", [("gray16le", 16)])
+def test_gray_downshift_dither_exact(ffmpeg, src_pix, depth):
+    """gray 16 -> 8 applies libswscale's full-range DITHER_COPY
+    (swscale_unscaled.c:2076-2113); byte-exact, odd dims to exercise
+    the 8x8 dither tiling."""
+    h, w = 37, 29
+    g = RNG.integers(0, 1 << depth, (h, w), dtype=np.uint16)
+    ref = _ref_convert_raw(ffmpeg, g.astype("<u2").tobytes(), w, h,
+                           src_pix, "gray")
+    fr = DecodedFrame(fmt=_fmt(src_pix), width=w, height=h, planes=[g])
+    ours = convert(fr, "gray").planes[0]
+    assert ours.tobytes() == ref
+
+
+@pytest.mark.parametrize("src_pix,dst_pix,depth", [
+    ("yuv444p10le", "yuv444p", 10),
+    ("yuv444p16le", "yuv444p", 16),
+    ("yuv422p12le", "yuv422p", 12),
+])
+def test_yuv_depth_downshift_exact(ffmpeg, src_pix, dst_pix, depth):
+    """yuv -> yuv depth reduction runs plane-direct with the
+    limited-range (shiftonly) DITHER_COPY variant; byte-exact."""
+    h, w = 37, 30
+    f = _fmt(src_pix)
+    cw = -(-w // (1 << f.log2_chroma_w))
+    ch = -(-h // (1 << f.log2_chroma_h))
+    y = RNG.integers(0, 1 << depth, (h, w), dtype=np.uint16)
+    u = RNG.integers(0, 1 << depth, (ch, cw), dtype=np.uint16)
+    v = RNG.integers(0, 1 << depth, (ch, cw), dtype=np.uint16)
+    raw = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
+    ref = _ref_convert_raw(ffmpeg, raw.astype("<u2").tobytes(), w, h,
+                           src_pix, dst_pix)
+    fr = DecodedFrame(fmt=f, width=w, height=h, planes=[y, u, v])
+    assert _planes_bytes(convert(fr, dst_pix)) == ref
+
+
+def test_yuv_depth_upshift_exact(ffmpeg):
+    """yuv 8 -> 16 is a plain left shift for limited-range planes
+    (COPY_UP shiftonly); byte-exact."""
+    h, w = 37, 30
+    planes = [RNG.integers(0, 256, (h, w), dtype=np.uint8)
+              for _ in range(3)]
+    raw = np.concatenate([p.ravel() for p in planes])
+    ref = _ref_convert_raw(ffmpeg, raw.tobytes(), w, h,
+                           "yuv444p", "yuv444p16le")
+    fr = DecodedFrame(fmt=_fmt("yuv444p"), width=w, height=h,
+                      planes=planes)
+    assert _planes_bytes(convert(fr, "yuv444p16le")) == ref
+
+
+def test_fate_rgb48_conversion_pattern_exact(ffmpeg):
+    """The FATE p0_07/p0_08 pattern (framecrc -pix_fmt rgb48le
+    -auto_conversion_filters, tests/fate/jpeg2000.mak:37-41): >8-bit
+    RGB decodes natively to MSB-aligned rgb48le, so the requested
+    conversion is an identity and the converted output is byte-exact
+    against the reference — including through -lowres 1."""
+    import subprocess, tempfile, os
+    planes = [RNG.integers(0, 4096, (40, 48), dtype=np.uint16)
+              for _ in range(3)]
+    data = encode_frame_htj2k(planes, depth=12)
+    with tempfile.NamedTemporaryFile(suffix=".j2k", delete=False) as f:
+        f.write(data)
+        p = f.name
+    try:
+        for lowres in (0, 1):
+            cmd = [ffmpeg, "-loglevel", "error", "-flags", "+bitexact",
+                   "-auto_conversion_filters"]
+            if lowres:
+                cmd += ["-lowres", "1"]
+            cmd += ["-i", p, "-pix_fmt", "rgb48le", "-f", "rawvideo", "-"]
+            ref = subprocess.run(cmd, check=True,
+                                 capture_output=True).stdout
+            fr = decode_frame(data, bitexact=True,
+                              reduction_factor=lowres)
+            assert fr.fmt.name == "rgb48le"
+            ours = convert(fr, "rgb48le")  # identity
+            assert ours.tobytes() == ref
+    finally:
+        os.unlink(p)
+
+
 def test_yuv_rgb_inverse_pair():
     rgb = RNG.integers(0, 256, (32, 3 * 40), dtype=np.uint8)
     fr = DecodedFrame(fmt=_fmt("rgb24"), width=40, height=32, planes=[rgb])
@@ -68,13 +173,13 @@ def test_yuv_to_rgb_close_to_reference(ffmpeg):
     """yuv444p content to rgb24: BT.601 limited-range, within sws's
     dither/rounding envelope.
 
-    SCOPE CUT (deliberate, swscale.py:21-26): matching libswscale
-    bit-for-bit is out of scope — its output depends on dither state and
-    SIMD width — so the FATE p0_07/p0_08 pattern (exact framecrc
-    *through* conversion, tests/fate/jpeg2000.mak:37-41) cannot be
-    replicated on converted YUV output. Converted output is pinned to
-    the reference within a small LSB envelope instead; gray->rgb and all
-    round-trips ARE exact (tests above)."""
+    SCOPE CUT (deliberate, swscale.py module docstring): matching
+    libswscale's COLORSPACE transforms bit-for-bit is out of scope —
+    they run through its 15/19-bit YUV intermediate pipeline — so
+    converted cross-colorspace output is pinned within a small LSB
+    envelope instead. Same-colorspace depth changes, gray->rgb, all
+    round-trips, and the FATE p0_07/p0_08 rgb48le pattern ARE
+    byte-exact (tests above)."""
     planes = [RNG.integers(16, 236, (48, 64), dtype=np.uint8),
               RNG.integers(16, 241, (24, 32), dtype=np.uint8),
               RNG.integers(16, 241, (24, 32), dtype=np.uint8)]
