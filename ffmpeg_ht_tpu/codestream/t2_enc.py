@@ -139,7 +139,8 @@ def putnumpasses(bp: BitPacker, n: int) -> None:
 
 def encode_packet(out: bytearray, rlevel, layno: int, precno: int,
                   expn, numgbits: int, packetno: int, nlayers: int,
-                  sop: bool, eph: bool, header_out=None) -> None:
+                  sop: bool, eph: bool, header_out=None,
+                  roi: int = 0) -> None:
     """Emit one packet (encode_packet, j2kenc.c:786-937).
 
     With `header_out` set, the packet header bits (and EPH) go there
@@ -169,8 +170,14 @@ def encode_packet(out: bytearray, rlevel, layno: int, precno: int,
                 e = cblk.enc
                 e.incl = False
                 e.lblock = 3
+                # maxshift ROI (RGN SPrgn = roi): the zerobits tag grows
+                # by SPrgn so the decoder's v = magb - (zbp - roi_shift)
+                # (t2.py:190-193 / jpeg2000dec.c:1186) recovers the same
+                # nonzerobits while placing the coded planes roi lower;
+                # its final writeback upshifts background samples back
+                # (jpeg2000dec.c:2083-2084, jpeg2000htdec.c:1317-1331)
                 prec.enc_zerobits.set_leaf(
-                    pos, expn[bandno] + numgbits - 1 - e.nonzerobits)
+                    pos, expn[bandno] + numgbits - 1 - e.nonzerobits + roi)
                 incl_layer = nlayers
                 for i in range(nlayers):
                     if e.layers[i]["npasses"] > 0:
@@ -278,7 +285,7 @@ def encode_packet(out: bytearray, rlevel, layno: int, precno: int,
 
 def encode_packets(out: bytearray, tile: Tile, nlayers: int, prog: int,
                    sop: bool, eph: bool, chroma_shift=(0, 0),
-                   boundaries=None, header_out=None) -> None:
+                   boundaries=None, header_out=None, roi: int = 0) -> None:
     """All packets of one tile in progression order (j2kenc.c:940-1166).
 
     `boundaries`, when given, collects the byte offset after every packet
@@ -300,7 +307,7 @@ def encode_packets(out: bytearray, tile: Tile, nlayers: int, prog: int,
         rlevel = tile.comp[compno].reslevel[reslevelno]
         expn, ngb = expn_slice(compno, reslevelno)
         encode_packet(out, rlevel, layno, precno, expn, ngb, packetno,
-                      nlayers, sop, eph, header_out)
+                      nlayers, sop, eph, header_out, roi)
         packetno += 1
         if boundaries is not None:
             boundaries.append(len(out))

@@ -121,6 +121,29 @@ class EncoderConfig:
                            # MIXED length state machine (t2.py:303-351 /
                            # jpeg2000dec.c:1256-1439). Requires pred=1,
                            # single layer, refinement=False
+    sgnd: bool = False     # signed components (Ssiz sign bit, T.800
+                           # A.5.1): input planes are int8/int16 in
+                           # [-2^(B-1), 2^(B-1)-1]; no DC level shift at
+                           # encode. The decoder (ours and the reference,
+                           # jpeg2000dec.c:2341-2343) adds 2^(B-1)
+                           # unconditionally at write_frame, so decoded
+                           # output is input + 2^(B-1) as unsigned
+    roi_shift: int = 0     # maxshift ROI (RGN marker, SPrgn = roi_shift;
+                           # T.800 H.2 as the decoder implements it,
+                           # jpeg2000dec.c:2083-2084 / htdec:1317-1331):
+                           # every coefficient outside roi_rect is coded
+                           # roi_shift planes below the dequant grid (the
+                           # zerobits tag grows by SPrgn) and restored by
+                           # the decoder's background upshift; ROI
+                           # coefficients are pre-upshifted so the decoder
+                           # leaves them in place. Lossless paths stay
+                           # bit-exact. Requires roi_shift >= bitlength of
+                           # the largest background coefficient
+    roi_rect: Optional[tuple] = None  # (x0, y0, x1, y1) in image coords:
+                           # coefficients whose subband footprint lies in
+                           # the rect are ROI (kept at full precision even
+                           # at truncated decode). None = everything is
+                           # background (pure level-shift stream)
 
 
 def _init_quantization(codsty: CodingStyle, qntsty: QuantStyle,
@@ -165,7 +188,7 @@ def _put_siz(out: bytearray, siz: SIZ) -> None:
     out.extend(_be32(0) + _be32(0))           # XT0/YT0
     out.extend(_be16(siz.ncomponents))
     for c in siz.components:
-        out.append(c.depth - 1)
+        out.append((c.depth - 1) | (0x80 if c.sgnd else 0))
         out.append(c.dx)
         out.append(c.dy)
 
@@ -205,6 +228,18 @@ def _put_qcd(out: bytearray, codsty: CodingStyle, qntsty: QuantStyle) -> None:
             out.extend(_be16((qntsty.expn[i] << 11) | qntsty.mant[i]))
 
 
+def _cdef_box(ncomp: int) -> bytes:
+    """Channel-definition box for a trailing alpha channel (JP2 I.5.3.6;
+    parsed at jpeg2000dec.c cdef walk / parser.py:396-405): components
+    0..ncomp-2 are colour channels associated 1..ncomp-1, the last is
+    the whole-image (Asoc=0) opacity (Typ=1) channel."""
+    payload = _be16(ncomp)
+    for cn in range(ncomp - 1):
+        payload += _be16(cn) + _be16(0) + _be16(cn + 1)
+    payload += _be16(ncomp - 1) + _be16(1) + _be16(0)
+    return _be32(8 + len(payload)) + b"cdef" + payload
+
+
 def _jp2_wrap(codestream: bytes, siz: SIZ, colr: int) -> bytes:
     """Minimal JP2 wrapping (j2kenc.c:1557-1631)."""
     def box(tag: bytes, payload: bytes) -> bytes:
@@ -216,7 +251,10 @@ def _jp2_wrap(codestream: bytes, siz: SIZ, colr: int) -> bytes:
                + _be16(siz.ncomponents)
                + bytes([siz.components[0].depth, 7, 0, 0]))
     colr_box = box(b"colr", bytes([1, 0, 0]) + _be32(colr))
-    jp2h = box(b"jp2h", ihdr + colr_box)
+    jp2h = ihdr + colr_box
+    if siz.ncomponents in (2, 4):
+        jp2h += _cdef_box(siz.ncomponents)
+    jp2h = box(b"jp2h", jp2h)
     jp2c = box(b"jp2c", codestream)
     return sig + ftyp + jp2h + jp2c
 
@@ -349,8 +387,13 @@ def _truncpasses(tile: Tile, codsty: CodingStyle, lambda_: int) -> None:
 
 
 def _encode_tile_components(tile: Tile, planes: List[np.ndarray],
-                            codsty: CodingStyle, nlayers: int) -> None:
-    """DWT + tier-1 over one tile (encode_tile, j2kenc.c:1405-1500)."""
+                            codsty: CodingStyle, nlayers: int,
+                            roi_s: int = 0, roi_rect=None) -> None:
+    """DWT + tier-1 over one tile (encode_tile, j2kenc.c:1405-1500).
+
+    roi_s/roi_rect: maxshift ROI (see encode_frame_htj2k) — ROI
+    coefficients are pre-upshifted by roi_s before the T1 coder; the
+    zerobits tag adjustment happens in encode_packet(roi=)."""
     for compno, comp in enumerate(tile.comp):
         cw = comp.coord[0][1] - comp.coord[0][0]
         ch = comp.coord[1][1] - comp.coord[1][0]
@@ -392,6 +435,25 @@ def _encode_tile_components(tile: Tile, planes: List[np.ndarray],
                             t1d = blk << NMSEDEC_FRACBITS
                         else:
                             t1d = (blk * scale) >> (15 - NMSEDEC_FRACBITS)
+                        if roi_s:
+                            q = np.abs(t1d)
+                            if roi_rect is not None:
+                                lev = (codsty.nreslevels - reslevelno) \
+                                    if reslevelno \
+                                    else (codsty.nreslevels - 1)
+                                m = _roi_blk_mask(band, lev, roi_rect,
+                                                  x0, y0, w, h)
+                            else:
+                                m = np.zeros(q.shape, bool)
+                            bg = int(np.where(
+                                m, 0, q >> NMSEDEC_FRACBITS).max()) \
+                                if q.size else 0
+                            if bg >= (1 << roi_s):
+                                raise ValueError(
+                                    f"background coefficient {bg} needs "
+                                    f"roi_shift > {bg.bit_length() - 1}")
+                            q = np.where(m, q << roi_s, q)
+                            t1d = np.where(t1d < 0, -q, q)
                         e = t1_enc.encode_cblk(t1d, w, h, bandpos)
                         e.layers = [dict(npasses=0, cum_passes=0,
                                          data_start=0, data_len=0, disto=0)
@@ -436,6 +498,36 @@ def _mixed_legacy_cblk(cblk, blk: np.ndarray, w: int, h: int,
     return True
 
 
+def _roi_blk_mask(band, lev: int, rect, cx: int, cy: int, w: int,
+                  h: int) -> np.ndarray:
+    """(h, w) bool: which coefficients of this codeblock are ROI.
+
+    A coefficient at absolute band coordinate b covers image samples
+    [b << lev, (b+1) << lev) along each axis; it is ROI when that
+    footprint intersects `rect` (x0, y0, x1, y1). The decoder is
+    agnostic to the encoder's ROI set (it classifies purely by decoded
+    magnitude, jpeg2000dec.c:2083 / jpeg2000htdec.c:1326), so any
+    footprint rule is conformant; intersection keeps every coefficient
+    that contributes inside the rect at full precision."""
+    rx0, ry0, rx1, ry1 = rect
+    bx = (band.coord[0][0] + cx + np.arange(w, dtype=np.int64)) << lev
+    by = (band.coord[1][0] + cy + np.arange(h, dtype=np.int64)) << lev
+    mx = (bx < rx1) & (bx + (1 << lev) > rx0)
+    my = (by < ry1) & (by + (1 << lev) > ry0)
+    return my[:, None] & mx[None, :]
+
+
+def _put_rgn(out: bytearray, ncomp: int, sprgn: int) -> None:
+    """RGN markers, one per component (T.800 A.6.3; parsed by
+    jpeg2000dec.c:643-672 / parser._get_rgn): Crgn, Srgn=0 (implicit
+    maxshift), SPrgn."""
+    for ci in range(ncomp):
+        out.extend(_be16(mk.RGN) + _be16(5))
+        out.append(ci)
+        out.append(0)
+        out.append(sprgn)
+
+
 def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                        chroma_shift=(0, 0), depth: Optional[int] = None,
                        refinement: bool = False,
@@ -462,6 +554,12 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
     if cfg.ht_mixed and (lossy or refinement or cfg.ht_plhd_single):
         raise ValueError("ht_mixed requires pred=1, refinement=False, "
                          "ht_plhd_single=False")
+    roi_s = cfg.roi_shift
+    if roi_s and (cfg.ht_layers > 1 or cfg.ht_plhd_single):
+        raise ValueError("roi_shift requires ht_layers=1 and "
+                         "ht_plhd_single=False")
+    if not 0 <= roi_s <= 30:
+        raise ValueError("roi_shift must be in [0, 30]")
 
     if isinstance(img, np.ndarray):
         planes_in = [img] if img.ndim == 2 else \
@@ -500,7 +598,7 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
     siz = SIZ(rsiz=0x4000, width=width, height=height,
               tile_width=cfg.tile_width, tile_height=cfg.tile_height,
               components=[
-                  ComponentInfo(depth=cbps, sgnd=False,
+                  ComponentInfo(depth=cbps, sgnd=cfg.sgnd,
                                 dx=(1 << chroma_shift[0]) if (i + 1) & 2 else 1,
                                 dy=(1 << chroma_shift[1]) if (i + 1) & 2 else 1)
                   for i in range(ncomp)])
@@ -528,8 +626,11 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
             x0, x1 = comp.coord[0]
             y0, y1 = comp.coord[1]
             cw, ch = x1 - x0, y1 - y0
-            p = planes_in[compno][y0:y1, x0:x1].astype(np.int32) \
-                - (1 << (cbps - 1))
+            p = planes_in[compno][y0:y1, x0:x1].astype(np.int32)
+            if not cfg.sgnd:
+                # DC level shift for unsigned components only (T.800
+                # G.1.2; signed input is already zero-centered)
+                p = p - (1 << (cbps - 1))
             raw.append(p.reshape(ch, cw))
         if use_mct:
             from ffmpeg_ht_tpu.ops import mct as mctmod
@@ -560,6 +661,8 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                     # dequant_int_97 reconstructs (q+0.5)*stepsize
                     scale = (16384 * 65536) // band.i_stepsize if lossy \
                         else 0
+                    lev = (codsty.nreslevels - reslevelno) \
+                        if reslevelno else (codsty.nreslevels - 1)
                     maxc = 0
                     for pr in band.prec:
                         for cblk in pr.cblk:
@@ -574,13 +677,33 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                             if lossy:
                                 q = (np.abs(blk.astype(np.int64))
                                      * scale) >> 15
+                            else:
+                                q = np.abs(blk.astype(np.int64))
+                            if roi_s:
+                                # pre-upshift ROI coefficients so the
+                                # decoder's magnitude test keeps them;
+                                # everything else must fit below 2^roi_s
+                                # so the background upshift restores it
+                                if cfg.roi_rect is not None:
+                                    m = _roi_blk_mask(
+                                        band, lev, cfg.roi_rect, cx, cy,
+                                        cblk.width, cblk.height)
+                                else:
+                                    m = np.zeros(q.shape, bool)
+                                bg = int(np.where(m, 0, q).max()) \
+                                    if q.size else 0
+                                if bg >= (1 << roi_s):
+                                    raise ValueError(
+                                        f"background coefficient {bg} "
+                                        f"needs roi_shift > "
+                                        f"{bg.bit_length() - 1}")
+                                q = np.where(m, q << roi_s, q)
+                            if lossy or roi_s:
                                 plane[cy:cy + cblk.height,
                                       cx:cx + cblk.width] = \
                                     np.where(blk < 0, -q,
                                              q).astype(np.int32)
-                                maxc = max(maxc, int(q.max()))
-                            else:
-                                maxc = max(maxc, int(np.abs(blk).max()))
+                            maxc = max(maxc, int(q.max()))
                     if maxc > 1:
                         e_max = (2 * maxc - 1).bit_length()
                         need_ngb = max(need_ngb, e_max - expn + 1)
@@ -609,14 +732,25 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
     # bit 11: HETEROGENEOUS — required for tile-header marker segments
     # like PPT (the decoder rejects PPT in a HOMOGENEOUS HT set,
     # parser.py:626 / jpeg2000dec.c Ccap15 handling)
+    # bit 12: RGN marker segments allowed in this HT set (the decoder
+    # rejects RGN in an RGNFREE set, parser.py:561 / Ccap15 handling)
     ccap15 = b_field | (0x20 if lossy else 0) \
         | (0xC000 if cfg.ht_mixed else 0) \
-        | (0x0800 if cfg.ppt else 0)
+        | (0x0800 if cfg.ppt else 0) \
+        | (0x1000 if roi_s else 0)
+    if roi_s and roi_s > 29 - max_magb:
+        # decoded samples sit roi_s planes lower: pLSB = 30 - (zbp +
+        # roi_s) must stay >= 2 for the reconstruction-half injection
+        # (jpeg2000htdec.c:1276-1278, 423)
+        raise ValueError(f"roi_shift {roi_s} too large for M_b "
+                         f"{max_magb} (max {29 - max_magb})")
     out.extend(_be16(mk.CAP) + _be16(2 + 4 + 2))  # Lcap
     out.extend(_be32(1 << 17))  # Pcap: Ccap15 present
     out.extend(_be16(ccap15))
     _put_cod_ht(out, cfg, codsty, nlayers_ht)
     _put_qcd(out, codsty, qntsty)
+    if roi_s:
+        _put_rgn(out, ncomp, roi_s)
     if cfg.poc:
         # POC segment (T.800 A.6.6, 7-byte entries for <= 257 comps);
         # entries normalized exactly as the parser will read them back
@@ -680,8 +814,12 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                             sign = (blk < 0).astype(np.int64)
                             enc3 = None
                             if refinement and magb >= 2:
+                                # roi_s: the coded planes live roi_s
+                                # lower (the zerobits tag grows by roi_s
+                                # via encode_packet's roi param), so the
+                                # entropy coder's own zbp moves with it
                                 enc3 = ht_enc.encode_block_3pass(
-                                    mag, sign, magb - 2,
+                                    mag, sign, magb - 2 + roi_s,
                                     is_causal=int(cfg.causal))
                             if enc3 is not None:
                                 # Cleanup + SigProp + MagRef (z_blk = 3)
@@ -755,7 +893,8 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                                                      data_len=len(data3),
                                                      disto=0)]
                                 continue
-                            dcup, lcup = ht_enc.encode_cleanup(mag, sign, zbp)
+                            dcup, lcup = ht_enc.encode_cleanup(
+                                mag, sign, zbp + roi_s)
                             e.nonzerobits = magb - zbp  # zerobits tag = zbp
                             e.npasses = 1
                             e.ninclpasses = 1
@@ -803,14 +942,15 @@ def encode_frame_htj2k(img: Union[np.ndarray, Sequence[np.ndarray]],
                 off = 3 * rlno - 2 if rlno else 0
                 encode_packet(body, tile.comp[compno].reslevel[rlno],
                               layno, precno, q.expn[off:], q.nguardbits,
-                              pkno, nlayers_ht, cfg.sop, cfg.eph, hdrs)
+                              pkno, nlayers_ht, cfg.sop, cfg.eph, hdrs,
+                              roi_s)
                 pkno += 1
                 if bnds is not None:
                     bnds.append(len(body))
         else:
             encode_packets(body, tile, nlayers_ht, _PROG[cfg.prog],
                            cfg.sop, cfg.eph, chroma_shift, boundaries=bnds,
-                           header_out=hdrs)
+                           header_out=hdrs, roi=roi_s)
         if cfg.ppm:
             ppm_records.append(bytes(hdrs))
         markers = b""
@@ -848,7 +988,10 @@ def _jph_wrap(codestream: bytes, siz: SIZ, cbps: int) -> bytes:
                + _be16(siz.ncomponents) + bytes([cbps, 7, 0, 0]))
     colr_code = 17 if siz.ncomponents == 1 else 16
     colr_box = box(b"colr", bytes([1, 0, 0]) + _be32(colr_code))
-    jp2h = box(b"jp2h", ihdr + colr_box)
+    jp2h = ihdr + colr_box
+    if siz.ncomponents in (2, 4):
+        jp2h += _cdef_box(siz.ncomponents)
+    jp2h = box(b"jp2h", jp2h)
     jp2c = box(b"jp2c", codestream)
     return sig + ftyp + jp2h + jp2c
 
@@ -1045,10 +1188,21 @@ def encode_frame_t800(img: Union[np.ndarray, Sequence[np.ndarray]],
     nlayers = max(1, len(layer_rates))
     codsty.nlayers = nlayers
 
+    roi_s = cfg.roi_shift
+    if roi_s:
+        max_magb = max(qntsty.expn[i]
+                       for i in range(codsty.nreslevels * 3 - 2)) \
+            + qntsty.nguardbits - 1
+        if not 0 < roi_s <= 30 - max_magb:
+            # decode pass loop ends at bpno = 30 - M_b - roi_shift,
+            # which must stay >= 0 (jpeg2000dec.c:2018-2021, 1997)
+            raise ValueError(f"roi_shift {roi_s} out of range for M_b "
+                             f"{max_magb} (max {30 - max_magb})")
+
     siz = SIZ(width=width, height=height,
               tile_width=cfg.tile_width, tile_height=cfg.tile_height,
               components=[
-                  ComponentInfo(depth=cbps, sgnd=False,
+                  ComponentInfo(depth=cbps, sgnd=cfg.sgnd,
                                 dx=(1 << chroma_shift[0]) if (i + 1) & 2 else 1,
                                 dy=(1 << chroma_shift[1]) if (i + 1) & 2 else 1)
                   for i in range(ncomp)])
@@ -1066,6 +1220,8 @@ def encode_frame_t800(img: Union[np.ndarray, Sequence[np.ndarray]],
     _put_siz(out, siz)
     _put_cod(out, cfg, codsty, nlayers)
     _put_qcd(out, codsty, qntsty)
+    if roi_s:
+        _put_rgn(out, ncomp, roi_s)
 
     if cfg.ppm and (cfg.ppt or cfg.tp_interval):
         raise ValueError("ppm needs ppt=False and tp_interval=0")
@@ -1081,8 +1237,9 @@ def encode_frame_t800(img: Union[np.ndarray, Sequence[np.ndarray]],
             x0, x1 = comp.coord[0]
             y0, y1 = comp.coord[1]
             p = planes_in[compno][y0:y1, x0:x1].astype(np.int32)
-            tplanes.append(p - (1 << (cbps - 1)))
-        _encode_tile_components(tile, tplanes, codsty, nlayers)
+            tplanes.append(p if cfg.sgnd else p - (1 << (cbps - 1)))
+        _encode_tile_components(tile, tplanes, codsty, nlayers,
+                                roi_s, cfg.roi_rect)
 
         if layer_rates:
             # bytes per layer for this tile (compute_rates, j2kenc.c:437-460)
@@ -1105,7 +1262,7 @@ def encode_frame_t800(img: Union[np.ndarray, Sequence[np.ndarray]],
         hdrs = bytearray() if (cfg.ppt or cfg.ppm) else None
         encode_packets(body, tile, nlayers, _PROG[cfg.prog],
                        cfg.sop, cfg.eph, chroma_shift, boundaries=bnds,
-                       header_out=hdrs)
+                       header_out=hdrs, roi=roi_s)
         if cfg.ppm:
             ppm_records.append(bytes(hdrs))
         markers = b""

@@ -131,11 +131,21 @@ for F in (1, 2, 4):
     print(f"F{F} full fused: {best*1e3:.2f} ms ({F/best:.1f} fps)", flush=True)
     last_packed = packed
 
-# correctness: fused output vs host decoder
+# correctness: fused output (frame 0 of the last batched run) vs the
+# host decoder. The packed buffer holds prescaled plane pixels in
+# geom.planes order at cbps scale; the host DecodedFrame is interleaved
+# rgb48 (vals << (precision - cbps)) — compare in packed space.
+from ffmpeg_ht_tpu.models import pixfmt as pfmt
 from ffmpeg_ht_tpu.models.host_decoder import decode_frame
 ref = decode_frame(s4k, bitexact=True)
-out = np.asarray(last_packed[:-1])
-okf = int(np.asarray(last_packed[-1]))
-got = out[:fg.geom.total].reshape(3, 2160, 3840).transpose(1, 2, 0)
-print("ok flag:", okf, "bit-exact:", np.array_equal(got, np.asarray(ref)),
-      flush=True)
+prec_shift = pfmt.output_precision(ref.fmt, hdr.siz.precision) - 10
+out = np.asarray(last_packed)
+okf = int(out[-1])
+got = out[:fg.geom.total]
+exact = True
+off = 0
+for c, (_o, ph, pw) in enumerate(fg.geom.planes):
+    exp = (ref.planes[0][:, c::3] >> prec_shift).astype(got.dtype)
+    exact &= np.array_equal(got[off:off + ph * pw].reshape(ph, pw), exp)
+    off += ph * pw
+print("ok flag:", okf, "bit-exact:", exact, flush=True)
