@@ -1,13 +1,16 @@
 #!/usr/bin/env python3
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline: config 3 of BASELINE.json — 4K 10-bit 4:4:4 HTJ2K intra decode,
-frames/sec/chip, measured DEVICE-RESIDENT: the frame's lane arrays are
-staged on device once, then N full decode iterations of the fused v3
-program (merged-bucket entropy + scatter-free assembly + band-direct DWT
-+ fused dequant/MCT/pack, models/assembly.py) run back to back, synced by
-a scalar fetch. That is the chip rate a direct-attached deployment
-sustains (BASELINE.md: >=60 fps/chip on v5e); vs_baseline = fps/60.
+Headline: config 3 of BASELINE.json — DCI 4K (4096x2160) 10-bit 4:4:4
+HTJ2K intra decode, frames/sec/chip, measured DEVICE-RESIDENT on
+NATURAL content (mixed-frequency value-noise texture; VERDICT r4
+item 3): the frame's lane arrays are staged on device once, then N full
+decode iterations of the fused v3 program (merged-bucket entropy +
+scatter-free assembly + band-direct DWT + fused dequant/MCT/pack,
+models/assembly.py) run back to back, synced by a scalar fetch. That is
+the chip rate a direct-attached deployment sustains (BASELINE.md:
+>=60 fps/chip on v5e); vs_baseline = fps/60. Smooth-sinusoid and
+incompressible worst-case rows bracket the headline in detail.
 
 The end-to-end tunneled pipeline rate (host parse + upload + compute +
 63 MB output fetch over a ~10-16 MB/s link) is reported in detail as
@@ -105,6 +108,29 @@ def _smooth(h, w, lo=0, hi=255, dtype=np.uint8):
     return (((base + 1) / 2) * (hi - lo) + lo).astype(dtype)
 
 
+def _natural(h, w, lo=0, hi=255, dtype=np.uint8, seed=7):
+    """Mixed-frequency value-noise texture (octaves at 8/32/128/512 px):
+    the DCI-cinema-content stand-in for the headline — fine texture plus
+    large structure, unlike the smooth sinusoid whose codeblocks are
+    nearly empty (VERDICT r4 weak #1)."""
+    r = np.random.default_rng(seed)
+    acc = np.zeros((h, w))
+    for period, amp in ((8, 0.5), (32, 0.25), (128, 0.15), (512, 0.1)):
+        g = r.standard_normal((h // period + 2, w // period + 2))
+        yi = np.arange(h) / period
+        xi = np.arange(w) / period
+        y0 = yi.astype(int)
+        x0 = xi.astype(int)
+        fy = (yi - y0)[:, None]
+        fx = (xi - x0)[None, :]
+        a, b = g[y0][:, x0], g[y0][:, x0 + 1]
+        c, d = g[y0 + 1][:, x0], g[y0 + 1][:, x0 + 1]
+        acc += amp * ((a * (1 - fx) + b * fx) * (1 - fy)
+                      + (c * (1 - fx) + d * fx) * fy)
+    acc = (acc - acc.min()) / (np.ptp(acc) + 1e-9)
+    return (acc * (hi - lo) + lo).astype(dtype)
+
+
 def main() -> None:
     threading.Thread(target=_watchdog, daemon=True).start()
 
@@ -118,7 +144,7 @@ def main() -> None:
     # (shape-class, lane-count, width) variant; cache them across runs
     os.environ.setdefault("FFMPEG_HT_TPU_CACHE",
                           os.path.join(os.path.dirname(
-                              os.path.abspath(__file__)), ".xla_cache"))
+                              os.path.abspath(__file__)), ".xla_cache_tpu"))
 
     from ffmpeg_ht_tpu.models.decoder import Decoder
     from ffmpeg_ht_tpu.models.encoder import encode_frame_htj2k
@@ -146,55 +172,108 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return len(streams) / best, mb_out / len(streams)
 
-    # ---- headline first: 4K 10-bit 4:4:4 lossless, device-resident ----
-    b10 = _smooth(2160, 3840, 0, 1023, np.uint16)
-    f4k = [np.stack([b10, np.roll(b10, 5, 1), np.roll(b10, 9, 0)], axis=2)]
-    streams_4k = [encode_frame_htj2k(f, depth=10, tile_width=4096,
-                                     tile_height=4096, log2_cblk_width=6,
-                                     log2_cblk_height=6)
-                  for f in f4k]
+    # ---- headline first: DCI 4K (4096x2160) 10-bit 4:4:4 lossless,
+    # device-resident, three content classes (VERDICT r4 item 3):
+    # natural mixed-frequency texture is the HEADLINE; the old smooth
+    # sinusoid and an incompressible worst-case bound it on both sides.
+    enc4k = dict(depth=10, tile_width=4096, tile_height=4096,
+                 log2_cblk_width=6, log2_cblk_height=6)
 
-    def c3_resident():
-        import jax
+    def mk444(b10):
+        return np.stack([b10, np.roll(b10, 5, 1), np.roll(b10, 9, 0)],
+                        axis=2)
+
+    contents_c3 = {
+        "natural": mk444(_natural(2160, 4096, 0, 1023, np.uint16)),
+        "smooth": mk444(_smooth(2160, 4096, 0, 1023, np.uint16)),
+        "worst": mk444(rng.integers(0, 1024, (2160, 4096),
+                                    dtype=np.uint16)),
+    }
+    streams_c3 = {k: encode_frame_htj2k(v, **enc4k)
+                  for k, v in contents_c3.items()}
+    streams_4k = [streams_c3["natural"]]
+
+    def _stage_v3(dec_obj, streams):
+        """Parse + flatten + build the fused v3 program and device args
+        for F same-geometry streams; returns everything the resident
+        timing loops need. Raises if the geometry isn't v3-capable."""
         import jax.numpy as jnp
         from ffmpeg_ht_tpu.codestream.parser import parse_codestream
         from ffmpeg_ht_tpu.models import assembly as ASM
         from ffmpeg_ht_tpu.models import fastpath as FP
-        from ffmpeg_ht_tpu.ops.ht_scan import _cleanup_impl
 
-        hdr4k = parse_codestream(streams_4k[0], bitexact=True)
-        fg = dec._fast_geom(hdr4k)
-        cols = FP.parse_frame_flat(hdr4k, fg)
+        hdrs = [parse_codestream(s, bitexact=dec_obj.bitexact)
+                for s in streams]
+        fg = dec_obj._fast_geom(hdrs[0])
         if fg.v3_plan is None:
             fg.v3_plan = ASM.build_plan(fg) or False
-        assert fg.v3_plan, "geometry not v3-capable"
-        fc = FP.build_v3_frame(fg, cols)
-        args, _F = FP.finish_v3(fg, [fc], fg.geom.total)
-        mb = int(fc["maxbp"][fc["qws"] > 0].max())
+        if not fg.v3_plan:
+            raise RuntimeError("geometry not v3-capable")
+        fcs = []
+        for h in hdrs:
+            cols = FP.parse_frame_flat(h, fg)
+            fc = FP.build_v3_frame(fg, cols)
+            if fc is None:
+                raise RuntimeError("frame not v3-capable")
+            fcs.append(fc)
+        args, F = FP.finish_v3(fg, fcs, fg.geom.total)
+        mb = 1
+        for fc in fcs:
+            devl = fc["qws"] > 0
+            if devl.any():
+                mb = max(mb, int(fc["maxbp"][devl].max()))
         msc = next(c for c in (8, 12, 16, 20, 25) if mb <= c)
         no_istep = bool(np.all(np.asarray(args["istep"]) == 32768))
         prog = ASM.make_v3_program(
             fg.v3_plan, fg.geom.key(), qw=fg.v3_plan.bw // 2,
             qh=fg.v3_plan.bh // 2, ms_class=msc, n_pad=fg.ncblks,
-            frames=1, donate=True, no_istep=no_istep)
-        shape, dt = ASM.packed_shape(fg.geom.key(), 1)
+            frames=F, donate=True, no_istep=no_istep)
+        shape, dt = ASM.packed_shape(fg.geom.key(), F)
         packed = prog(jnp.zeros(shape, dt), **args)
         _sync = np.asarray(packed[-1])          # warmup, forced
-        n_it = 10
+        return fg, fcs, args, msc, no_istep, prog, packed, F
+
+    def _time_resident(prog, packed, args, F, n_it=10, reps=3):
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             for _ in range(n_it):
                 packed = prog(packed, **args)
             _sync = np.asarray(packed[-1])
             best = min(best, (time.perf_counter() - t0) / n_it)
-        fps = 1.0 / best
-        detail["c3_device_resident"] = {"fps": round(fps, 3),
-                                        "ms_per_frame": round(best * 1e3, 2)}
-        STATE["value"] = round(fps, 3)
-        STATE["vs_baseline"] = round(fps / 60.0, 4)
-        print(f"# c3 device-resident: {fps:.3f} fps "
-              f"({best * 1e3:.1f} ms/frame)", file=sys.stderr)
+        return F / best, best * 1e3 / F
+
+    n_it = 10
+    c3_state = {}
+
+    def c3_resident():
+        import jax
+        import jax.numpy as jnp
+        from ffmpeg_ht_tpu.ops.ht_scan import _cleanup_impl
+
+        row = detail.setdefault("c3_device_resident", {})
+        for name in ("natural", "smooth", "worst"):
+            def one(name=name):
+                st = _stage_v3(dec, [streams_c3[name]])
+                fps, ms = _time_resident(st[5], st[6], st[2], 1,
+                                         n_it=n_it)
+                row[f"{name}_fps"] = round(fps, 3)
+                row[f"{name}_ms_per_frame"] = round(ms, 2)
+                if name == "natural":
+                    c3_state.update(zip(
+                        ("fg", "fcs", "args", "msc", "no_istep"), st[:5]))
+                    row["fps"] = round(fps, 3)
+                    row["ms_per_frame"] = round(ms, 2)
+                    row["content"] = "natural"
+                    STATE["value"] = round(fps, 3)
+                    STATE["vs_baseline"] = round(fps / 60.0, 4)
+                print(f"# c3 device-resident [{name}]: {fps:.3f} fps "
+                      f"({ms:.1f} ms/frame)", file=sys.stderr)
+            config(f"c3_resident_{name}", one)
+        if "fg" not in c3_state:
+            return
+        fg, args, msc = c3_state["fg"], c3_state["args"], c3_state["msc"]
+        fcs, no_istep = c3_state["fcs"], c3_state["no_istep"]
 
         # stage split: merged entropy kernel alone (scalar-reduced so the
         # timing excludes the platform's fresh-output-buffer cost)
@@ -218,17 +297,19 @@ def main() -> None:
                 s = kern(**ka)
             _s = np.asarray(s)
             ent = (time.perf_counter() - t0) / n_it
-            detail["c3_device_resident"]["entropy_ms"] = round(ent * 1e3, 2)
-            print(f"# c3 entropy stage: {ent * 1e3:.1f} ms/frame",
-                  file=sys.stderr)
+            row["entropy_ms"] = round(ent * 1e3, 2)
+            print(f"# c3 entropy stage [natural]: {ent * 1e3:.1f} "
+                  f"ms/frame", file=sys.stderr)
         config("c3_entropy_split", entropy_split)
 
-        # batched steady state: F frames share one fused launch. The
-        # scan kernel is one long dependency chain, so ~6k lanes leave
-        # the VPU latency-bound; doubling lanes costs less than 2x
-        # (motion decode naturally batches frames, c5-style).
+        # batched steady state: F frames share one fused launch.
+        # Measured flat per-frame in r4/r5 (the kernel is
+        # throughput-bound); kept as the regression row for that fact.
         def batched(F):
-            argsF, _ = FP.finish_v3(fg, [fc] * F, fg.geom.total)
+            from ffmpeg_ht_tpu.models import assembly as ASM
+            from ffmpeg_ht_tpu.models import fastpath as FP
+            import jax.numpy as jnp
+            argsF, _ = FP.finish_v3(fg, fcs * F, fg.geom.total)
             progF = ASM.make_v3_program(
                 fg.v3_plan, fg.geom.key(), qw=fg.v3_plan.bw // 2,
                 qh=fg.v3_plan.bh // 2, ms_class=msc, n_pad=fg.ncblks,
@@ -236,20 +317,12 @@ def main() -> None:
             shapeF, dtF = ASM.packed_shape(fg.geom.key(), F)
             packedF = progF(jnp.zeros(shapeF, dtF), **argsF)
             _s = np.asarray(packedF[-1])
-            bst = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(n_it):
-                    packedF = progF(packedF, **argsF)
-                _s = np.asarray(packedF[-1])
-                bst = min(bst, (time.perf_counter() - t0) / n_it)
-            fpsF = F / bst
-            detail["c3_device_resident"][f"batched_f{F}_fps"] = \
-                round(fpsF, 3)
+            fpsF, msF = _time_resident(progF, packedF, argsF, F,
+                                       n_it=n_it)
+            row[f"batched_f{F}_fps"] = round(fpsF, 3)
             print(f"# c3 device-resident F={F}: {fpsF:.3f} fps "
-                  f"({bst * 1e3 / F:.1f} ms/frame)", file=sys.stderr)
-        for F in (2, 4):
-            config(f"c3_batched_f{F}", lambda F=F: batched(F))
+                  f"({msF:.1f} ms/frame)", file=sys.stderr)
+        config("c3_batched_f2", lambda: batched(2))
     config("c3_device_resident", c3_resident)
 
     # ---- the rest of the BASELINE configs ----
@@ -289,6 +362,19 @@ def main() -> None:
         detail["c2_1080p_rgb_lossy_ict"] = {"fps": round(fps, 3),
                                             "mb_out_per_frame": round(mb, 2)}
         print(f"# c2 1080p RGB 9/7+ICT: {fps:.2f} fps", file=sys.stderr)
+
+        # device-resident rate for the float-9/7+ICT path (VERDICT r4
+        # item 4): all 4 frames merged into one fused launch
+        def c2_res():
+            st = _stage_v3(dec_f, streams)
+            fps_r, ms_r = _time_resident(st[5], st[6], st[2], st[7])
+            detail["c2_1080p_rgb_lossy_ict"]["device_resident_fps"] = \
+                round(fps_r, 3)
+            detail["c2_1080p_rgb_lossy_ict"]["ms_per_frame"] = \
+                round(ms_r, 2)
+            print(f"# c2 device-resident F=4: {fps_r:.2f} fps "
+                  f"({ms_r:.1f} ms/frame)", file=sys.stderr)
+        config("c2_device_resident", c2_res)
     config("c2_1080p_rgb_lossy_ict", c2)
 
     # config 3 end-to-end through the tunnel: host parse + upload +
@@ -343,34 +429,59 @@ def main() -> None:
                                       log2_cblk_height=6,
                                       log2_prec_width=6,
                                       refinement=True, ht_layers=2)]
-        fps, mb = _time_batch(Decoder(bitexact=True, wire_pack=True),
-                              streams, reps=2)
+        d4 = Decoder(bitexact=True, wire_pack=True)
+        fps, mb = _time_batch(d4, streams, reps=2)
         detail["c4_8k_tiled_prec_layers"] = {"fps": round(fps, 3),
                                              "mb_out_per_frame": round(mb, 2),
                                              "wire_pack": True}
         print(f"# c4 8K tiled prec+layers: {fps:.3f} fps",
               file=sys.stderr)
+
+        # device-resident chip rate for the 8K mosaic (VERDICT r4 item 4)
+        def c4_res():
+            st = _stage_v3(d4, streams)
+            fps_r, ms_r = _time_resident(st[5], st[6], st[2], 1, n_it=5)
+            detail["c4_8k_tiled_prec_layers"]["device_resident_fps"] = \
+                round(fps_r, 3)
+            detail["c4_8k_tiled_prec_layers"]["ms_per_frame"] = \
+                round(ms_r, 2)
+            print(f"# c4 device-resident: {fps_r:.3f} fps "
+                  f"({ms_r:.1f} ms/frame)", file=sys.stderr)
+        config("c4_device_resident", c4_res)
     config("c4_8k_tiled_prec_layers", c4)
 
     # config 5: N=2 parallel 4K Motion-HTJ2K streams from a real MXF
     # container (BASELINE.json: "Motion-HTJ2K sequence (MJ2/MXF)")
     def c5():
         from ffmpeg_ht_tpu.containers.mxf import demux_mxf, mux_mxf
+        bnat = contents_c3["natural"][:, :, 0]
         seq = streams_4k + [
-            encode_frame_htj2k(np.stack([np.roll(b10, k, 1)] * 3, axis=2),
-                               depth=10, tile_width=4096,
-                               tile_height=4096, log2_cblk_width=6,
-                               log2_cblk_height=6)
+            encode_frame_htj2k(mk444(np.roll(bnat, k, 1)), **enc4k)
             for k in (3, 7, 11)]
-        mxf = mux_mxf(seq, 3840, 2160, ncomp=3, depth=10)
+        mxf = mux_mxf(seq, 4096, 2160, ncomp=3, depth=10)
         streams = list(demux_mxf(mxf))
         assert streams == seq, "MXF round-trip corrupted the essence"
-        fps, mb = _time_batch(Decoder(bitexact=True, wire_pack=True),
-                              streams, reps=2)
+        d5 = Decoder(bitexact=True, wire_pack=True)
+        fps, mb = _time_batch(d5, streams, reps=2)
         detail["c5_mxf_4k_motion"] = {"fps": round(fps, 3),
                                       "mb_out_per_frame": round(mb, 2),
                                       "wire_pack": True}
         print(f"# c5 MXF 4K motion: {fps:.3f} fps", file=sys.stderr)
+
+        # device-resident merged-launch rate: the 4 demuxed 4K streams
+        # decode as ONE fused F=4 launch (VERDICT r4 item 4 — the
+        # merged-launch scaling story, vs per-tile execute2 in the
+        # reference, jpeg2000dec.c:2368-2395)
+        def c5_res():
+            st = _stage_v3(d5, streams)
+            fps_r, ms_r = _time_resident(st[5], st[6], st[2], st[7],
+                                         n_it=5)
+            detail["c5_mxf_4k_motion"]["device_resident_fps"] = \
+                round(fps_r, 3)
+            detail["c5_mxf_4k_motion"]["ms_per_frame"] = round(ms_r, 2)
+            print(f"# c5 device-resident F=4: {fps_r:.3f} fps "
+                  f"({ms_r:.1f} ms/frame)", file=sys.stderr)
+        config("c5_device_resident", c5_res)
     config("c5_mxf_4k_motion", c5)
 
     _emit()

@@ -348,18 +348,23 @@ def _cxtvlc(code, context, tbl_split, ar32=None):
     return packed.astype(I32)
 
 
-def _sig_emb_pair(mst, vst, tbl_f32, c1, c2_fn, a1v, a2v, ar32=None):
+def _sig_emb_pair(mst, vst, tbl_f32, c1, c2_fn, a1v, a2v, ar32=None,
+                  cxt=None):
     """MEL-gated CxtVLC decode (jpeg2000htdec.c:510-531) for BOTH quads
     of a pair from ONE 32-bit peek (two codewords total <= 14 bits) and
     ONE combined drop — quad 2's context comes from quad 1's sig pattern
-    via c2_fn. Each single-quad form cost a full VLC window roll."""
+    via c2_fn. Each single-quad form cost a full VLC window roll.
+
+    cxt overrides the CxtVLC lookup (the Pallas kernel passes a 2-D
+    select-tree form; Mosaic rejects the (N, 2, 32) reshape here)."""
     pk = _peek32(vst)
+    lookup = cxt if cxt is not None else _cxtvlc
 
     def one(code, context, active, mst):
         melled = active & (context == 0)
         sym, mst = _mel_sym(mst, melled)
         read = active & ((context != 0) | (sym == 1))
-        packed = _cxtvlc(code, context, tbl_f32, ar32)
+        packed = lookup(code, context, tbl_f32, ar32)
         ln = jnp.where(read, (packed & 0xF) >> 1, 0)
         res = jnp.where(read, packed & 1, 0)
         sp = jnp.where(read, (packed >> 4) & 0xF, 0)

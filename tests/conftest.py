@@ -28,9 +28,11 @@ jax.config.update("jax_enable_x64", True)
 
 # The v2 entropy kernels compile per (shape-class, lane-count, width)
 # variant — ~60 s each on this 1-core host. The persistent cache makes
-# every variant a one-time cost across test runs.
+# every variant a one-time cost across test runs. Platform-keyed path:
+# TPU bench runs and CPU test runs racing one shared dir produced
+# intermittent SIGSEGVs in compilation_cache.get_executable_and_time.
 _CACHE_DIR = str(pathlib.Path(__file__).resolve().parent.parent
-                 / ".xla_cache")
+                 / ".xla_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -57,6 +59,34 @@ def ffmpeg():
 @pytest.fixture(scope="session")
 def tmp_media(tmp_path_factory):
     return tmp_path_factory.mktemp("media")
+
+
+_FFMPEG_CAPS: dict[str, frozenset] = {}
+
+
+def ffmpeg_has(kind: str, name: str) -> bool:
+    """Capability-probe the bundled reference binary once per kind
+    ('muxers'/'demuxers'/...) — the FATE analog of CONFIG_* gating
+    (tests/fate/jpeg2000.mak:37): a build without a component skips,
+    it doesn't fail."""
+    if not have_ffmpeg():
+        return False
+    if kind not in _FFMPEG_CAPS:
+        r = subprocess.run([FFMPEG, "-hide_banner", f"-{kind}"],
+                           capture_output=True, text=True)
+        names = set()
+        for line in r.stdout.splitlines():
+            parts = line.split()
+            if len(parts) >= 2 and any(c in "DEVAS." for c in parts[0]) \
+                    and len(parts[0]) <= 3:
+                names.update(parts[1].split(","))
+        _FFMPEG_CAPS[kind] = frozenset(names)
+    return name in _FFMPEG_CAPS[kind]
+
+
+def require_ffmpeg(kind: str, name: str) -> None:
+    if not ffmpeg_has(kind, name):
+        pytest.skip(f"bundled ffmpeg lacks {kind[:-1]} '{name}'")
 
 
 def ffmpeg_encode(ffmpeg_bin, raw: bytes, pix_fmt: str, size: str, out: str,

@@ -93,6 +93,8 @@ def test_mj2_roundtrip_and_reference_demux(ffmpeg, tmp_path):
 def test_mxf_demux_reference_muxed(ffmpeg, tmp_path):
     """Demux an MXF written by the reference muxer (mxfenc.c JPEG2000
     essence) and decode the frames losslessly."""
+    from conftest import require_ffmpeg
+    require_ffmpeg("muxers", "mxf")
     imgs = [RNG.integers(0, 256, (64, 64), dtype=np.uint8)
             for _ in range(3)]
     raw = tmp_path / "m.raw"

@@ -284,6 +284,8 @@ def test_jph_file_format(ffmpeg, tmp_path):
     # the reference decodes it when routed to its JPEG 2000 decoder via the
     # image pipe demuxer (ffmpeg has no .jph extension mapping, SURVEY.md
     # §2.3; not every build registers j2k_pipe, so force the codec)
+    from conftest import require_ffmpeg
+    require_ffmpeg("demuxers", "image2pipe")
     p = tmp_path / "f.jph"
     p.write_bytes(data)
     import subprocess

@@ -8,7 +8,7 @@ so timings only -- correctness is the oracle suite's job.
 Usage: python tools/ablate_entropy.py   (needs the TPU; many compiles)
 """
 import os, sys, time
-os.environ.setdefault("FFMPEG_HT_TPU_CACHE", "/root/repo/.xla_cache")
+os.environ.setdefault("FFMPEG_HT_TPU_CACHE", "/root/repo/.xla_cache_tpu")
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
 from ffmpeg_ht_tpu.ops import ht_scan as HS

@@ -10,7 +10,7 @@ block_until_ready can return early on the tunneled platform.
 Usage: python tools/profile_stages.py   (needs the TPU; ~6 compiles)
 """
 import os, sys, time
-os.environ.setdefault("FFMPEG_HT_TPU_CACHE", "/root/repo/.xla_cache")
+os.environ.setdefault("FFMPEG_HT_TPU_CACHE", "/root/repo/.xla_cache_tpu")
 sys.path.insert(0, "/root/repo")
 import numpy as np
 
