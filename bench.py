@@ -193,56 +193,6 @@ def main() -> None:
                   for k, v in contents_c3.items()}
     streams_4k = [streams_c3["natural"]]
 
-    def _stage_v3(dec_obj, streams):
-        """Parse + flatten + build the fused v3 program and device args
-        for F same-geometry streams; returns everything the resident
-        timing loops need. Raises if the geometry isn't v3-capable."""
-        import jax.numpy as jnp
-        from ffmpeg_ht_tpu.codestream.parser import parse_codestream
-        from ffmpeg_ht_tpu.models import assembly as ASM
-        from ffmpeg_ht_tpu.models import fastpath as FP
-
-        hdrs = [parse_codestream(s, bitexact=dec_obj.bitexact)
-                for s in streams]
-        fg = dec_obj._fast_geom(hdrs[0])
-        if fg.v3_plan is None:
-            fg.v3_plan = ASM.build_plan(fg) or False
-        if not fg.v3_plan:
-            raise RuntimeError("geometry not v3-capable")
-        fcs = []
-        for h in hdrs:
-            cols = FP.parse_frame_flat(h, fg)
-            fc = FP.build_v3_frame(fg, cols)
-            if fc is None:
-                raise RuntimeError("frame not v3-capable")
-            fcs.append(fc)
-        args, F = FP.finish_v3(fg, fcs, fg.geom.total)
-        mb = 1
-        for fc in fcs:
-            devl = fc["qws"] > 0
-            if devl.any():
-                mb = max(mb, int(fc["maxbp"][devl].max()))
-        msc = next(c for c in (8, 12, 16, 20, 25) if mb <= c)
-        no_istep = bool(np.all(np.asarray(args["istep"]) == 32768))
-        prog = ASM.make_v3_program(
-            fg.v3_plan, fg.geom.key(), qw=fg.v3_plan.bw // 2,
-            qh=fg.v3_plan.bh // 2, ms_class=msc, n_pad=fg.ncblks,
-            frames=F, donate=True, no_istep=no_istep)
-        shape, dt = ASM.packed_shape(fg.geom.key(), F)
-        packed = prog(jnp.zeros(shape, dt), **args)
-        _sync = np.asarray(packed[-1])          # warmup, forced
-        return fg, fcs, args, msc, no_istep, prog, packed, F
-
-    def _time_resident(prog, packed, args, F, n_it=10, reps=3):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            for _ in range(n_it):
-                packed = prog(packed, **args)
-            _sync = np.asarray(packed[-1])
-            best = min(best, (time.perf_counter() - t0) / n_it)
-        return F / best, best * 1e3 / F
-
     n_it = 10
     c3_state = {}
 
@@ -254,14 +204,15 @@ def main() -> None:
         row = detail.setdefault("c3_device_resident", {})
         for name in ("natural", "smooth", "worst"):
             def one(name=name):
-                st = _stage_v3(dec, [streams_c3[name]])
-                fps, ms = _time_resident(st[5], st[6], st[2], 1,
-                                         n_it=n_it)
+                res, st = dec.bench_resident([streams_c3[name]],
+                                             n_it=n_it,
+                                             return_state=True)
+                fps, ms = res["fps"], res["ms_per_frame"]
                 row[f"{name}_fps"] = round(fps, 3)
                 row[f"{name}_ms_per_frame"] = round(ms, 2)
                 if name == "natural":
                     c3_state.update(zip(
-                        ("fg", "fcs", "args", "msc", "no_istep"), st[:5]))
+                        ("fg", "fcs", "args", "msc", "no_istep"), st))
                     row["fps"] = round(fps, 3)
                     row["ms_per_frame"] = round(ms, 2)
                     row["content"] = "natural"
@@ -317,8 +268,14 @@ def main() -> None:
             shapeF, dtF = ASM.packed_shape(fg.geom.key(), F)
             packedF = progF(jnp.zeros(shapeF, dtF), **argsF)
             _s = np.asarray(packedF[-1])
-            fpsF, msF = _time_resident(progF, packedF, argsF, F,
-                                       n_it=n_it)
+            bst = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(n_it):
+                    packedF = progF(packedF, **argsF)
+                _s = np.asarray(packedF[-1])
+                bst = min(bst, (time.perf_counter() - t0) / n_it)
+            fpsF, msF = F / bst, bst * 1e3 / F
             row[f"batched_f{F}_fps"] = round(fpsF, 3)
             print(f"# c3 device-resident F={F}: {fpsF:.3f} fps "
                   f"({msF:.1f} ms/frame)", file=sys.stderr)
@@ -366,8 +323,8 @@ def main() -> None:
         # device-resident rate for the float-9/7+ICT path (VERDICT r4
         # item 4): all 4 frames merged into one fused launch
         def c2_res():
-            st = _stage_v3(dec_f, streams)
-            fps_r, ms_r = _time_resident(st[5], st[6], st[2], st[7])
+            res = dec_f.bench_resident(streams)
+            fps_r, ms_r = res["fps"], res["ms_per_frame"]
             detail["c2_1080p_rgb_lossy_ict"]["device_resident_fps"] = \
                 round(fps_r, 3)
             detail["c2_1080p_rgb_lossy_ict"]["ms_per_frame"] = \
@@ -439,8 +396,8 @@ def main() -> None:
 
         # device-resident chip rate for the 8K mosaic (VERDICT r4 item 4)
         def c4_res():
-            st = _stage_v3(d4, streams)
-            fps_r, ms_r = _time_resident(st[5], st[6], st[2], 1, n_it=5)
+            res = d4.bench_resident(streams, n_it=5)
+            fps_r, ms_r = res["fps"], res["ms_per_frame"]
             detail["c4_8k_tiled_prec_layers"]["device_resident_fps"] = \
                 round(fps_r, 3)
             detail["c4_8k_tiled_prec_layers"]["ms_per_frame"] = \
@@ -473,9 +430,8 @@ def main() -> None:
         # merged-launch scaling story, vs per-tile execute2 in the
         # reference, jpeg2000dec.c:2368-2395)
         def c5_res():
-            st = _stage_v3(d5, streams)
-            fps_r, ms_r = _time_resident(st[5], st[6], st[2], st[7],
-                                         n_it=5)
+            res = d5.bench_resident(streams, n_it=5)
+            fps_r, ms_r = res["fps"], res["ms_per_frame"]
             detail["c5_mxf_4k_motion"]["device_resident_fps"] = \
                 round(fps_r, 3)
             detail["c5_mxf_4k_motion"]["ms_per_frame"] = round(ms_r, 2)

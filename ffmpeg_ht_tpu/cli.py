@@ -2,6 +2,7 @@
 
     jxt decode INPUT [-o OUT] [-f rawvideo|framecrc|framemd5|md5]
                [--host] [--no-bitexact] [--lowres N] [--benchmark]
+               [--device-resident]
     jxt encode RAW -s WxH --pix-fmt FMT [-o OUT] [--codec ht|j2k]
                [--pred {0,1}] [--prog lrcp|rlcp|rpcl|pcrl|cprl]
                [--tile-width N] [--tile-height N] [--sop] [--eph]
@@ -46,6 +47,25 @@ def _cmd_decode(args) -> int:
     if not streams:
         logger.error("no frames found in input")
         return 1
+    if getattr(args, "device_resident", False):
+        # chip-rate measurement: decode the input's frames back-to-back
+        # device-resident (no host parse, no output fetch in the timed
+        # region) — reproduces bench.py's headline methodology on any
+        # user stream (Decoder.bench_resident docstring has the full
+        # contract)
+        if not args.benchmark:
+            logger.error("--device-resident requires --benchmark")
+            return 1
+        dec = Decoder(bitexact=args.bitexact)
+        try:
+            res = dec.bench_resident(streams)
+        except ValueError as e:
+            logger.error(f"device-resident bench unavailable: {e}")
+            return 1
+        print(f"bench: device-resident fps={res['fps']:.3f} "
+              f"ms_per_frame={res['ms_per_frame']:.2f} "
+              f"frames_merged={res['frames_merged']}", file=sys.stderr)
+        return 0
     if args.host:
         for s in streams:
             frames.append(host_decoder.decode_frame(
@@ -279,6 +299,10 @@ def main(argv=None) -> int:
                    help="convert output to this pixel format "
                         "(models/swscale.py, the libswscale analog)")
     d.add_argument("--benchmark", action="store_true")
+    d.add_argument("--device-resident", dest="device_resident",
+                   action="store_true",
+                   help="with --benchmark: measure the device-resident "
+                        "chip rate (bench.py headline methodology)")
     d.set_defaults(func=_cmd_decode, bitexact=True)
 
     e = sub.add_parser("encode", help="encode raw video")

@@ -982,6 +982,74 @@ class Decoder:
 
     _FAST_GEOMS: Dict[Tuple, object] = {}   # bounded in _fast_geom
 
+    def bench_resident(self, streams, n_it: int = 10, reps: int = 3,
+                       return_state: bool = False):
+        """Device-resident decode rate for same-geometry streams.
+
+        Stages the frames' lane arrays on device once, builds ONE fused
+        v3 program over all F frames (donated packed buffer), then runs
+        reps x n_it back-to-back decodes synced by a scalar fetch —
+        the chip rate a direct-attached deployment sustains, excluding
+        the host parse and the output-fetch link. This is the headline
+        methodology of bench.py, exposed so `jxt decode --benchmark
+        --device-resident` reproduces it on any user stream.
+
+        Returns {"fps", "ms_per_frame", "frames_merged"}; raises
+        ValueError when the geometry leaves the fused fast lane.
+        With return_state=True also returns (fg, fcs, args, ms_class,
+        no_istep) for callers that probe stages (bench.py).
+        """
+        import time
+
+        import jax.numpy as jnp
+
+        from ffmpeg_ht_tpu.models import assembly as ASM
+        from ffmpeg_ht_tpu.models import fastpath as FP
+
+        hdrs = [parse_codestream(s, bitexact=self.bitexact)
+                for s in streams]
+        fg = self._fast_geom(hdrs[0])
+        if fg.v3_plan is None:
+            fg.v3_plan = ASM.build_plan(fg) or False
+        if not fg.v3_plan:
+            raise ValueError("geometry not v3-capable")
+        fcs = []
+        for h in hdrs:
+            cols = FP.parse_frame_flat(h, fg)
+            fc = FP.build_v3_frame(fg, cols) if cols is not None else None
+            if fc is None:
+                raise ValueError("stream not v3-capable")
+            fcs.append(fc)
+        args, F = FP.finish_v3(fg, fcs, fg.geom.total)
+        mb = 1
+        for fc in fcs:
+            devl = fc["qws"] > 0
+            if devl.any():
+                mb = max(mb, int(fc["maxbp"][devl].max()))
+        if mb > 25:
+            raise ValueError("stream beyond the MagSgn read cap")
+        ms_class = next(c for c in (8, 12, 16, 20, 25) if mb <= c)
+        no_istep = bool(np.all(np.asarray(args["istep"]) == 32768))
+        prog = ASM.make_v3_program(
+            fg.v3_plan, fg.geom.key(), qw=fg.v3_plan.bw // 2,
+            qh=fg.v3_plan.bh // 2, ms_class=ms_class, n_pad=fg.ncblks,
+            frames=F, donate=True, no_istep=no_istep)
+        shape, dt = ASM.packed_shape(fg.geom.key(), F)
+        packed = prog(jnp.zeros(shape, dt), **args)
+        _sync = np.asarray(packed[-1])          # compile + warmup
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n_it):
+                packed = prog(packed, **args)
+            _sync = np.asarray(packed[-1])
+            best = min(best, (time.perf_counter() - t0) / n_it)
+        res = {"fps": F / best, "ms_per_frame": best * 1e3 / F,
+               "frames_merged": F}
+        if return_state:
+            return res, (fg, fcs, args, ms_class, no_istep)
+        return res
+
     def _fast_launch(self, hdr):
         """Flat-array lane (models/fastpath.py): native T2 + array
         batching; None when the stream leaves the fast profile."""

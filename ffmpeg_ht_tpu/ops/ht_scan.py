@@ -486,8 +486,11 @@ def _bitlen32(v):
     round 25-bit values across power-of-two boundaries). ~half the VPU
     ops of the 5-step binary ladder this replaces."""
     v = v.astype(U32)
-    lo = (v & jnp.uint32(0xFFF)).astype(jnp.float32)
-    hi = (v >> 12).astype(jnp.float32)
+    # both pieces are < 2**14, so converting through i32 is exact; the
+    # i32 route also lowers under Mosaic (u32->f32 does not)
+    lo = jax.lax.bitcast_convert_type(
+        v & jnp.uint32(0xFFF), I32).astype(jnp.float32)
+    hi = jax.lax.bitcast_convert_type(v >> 12, I32).astype(jnp.float32)
     bl_lo = (jax.lax.bitcast_convert_type(lo, I32) >> 23) - 126
     bl_hi = (jax.lax.bitcast_convert_type(hi, I32) >> 23) - 126 + 12
     # a zero piece bitcasts to exponent 0 -> large negative; max() with
@@ -865,6 +868,47 @@ def decode_cleanup_scan_dims(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
     (mu, sig, ok); lanes emit zeros beyond their own dims."""
     return _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
                          qw, qh, ms_class, dims=(qws, qhs))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("qw", "qh", "ms_class", "lanes"))
+def decode_cleanup_scan_dims_2d(msw, melw, vlcw, pLSB, maxbp, ms_lim,
+                                mel_lim, qws, qhs, qw: int, qh: int,
+                                ms_class: int, lanes: int = 128):
+    """decode_cleanup_scan_dims with the lane axis folded 2-D.
+
+    XLA lays a rank-1 (N,) operand out along the 128-wide lane minor
+    only, so every elementwise op in the scan body runs on 1 of the
+    VPU's 8 sublanes. Folding N -> (N/lanes, lanes) before tracing
+    makes every carried register a (rows, 128) tile that fills all 8
+    sublanes — same op count, up to 8x the per-op element throughput.
+    The fold is jax.vmap over the row axis of the UNCHANGED
+    _cleanup_impl, so the decode math (and its bit-exactness pins) are
+    structurally shared, not re-derived.
+
+    Pad lanes are inert exactly like the Pallas wrapper's: qws == 0
+    decodes nothing, reads nothing, and ok stays true (maxbp pad = 1
+    covers the row-0 U1 = 1 of a fully-masked lane)."""
+    N = msw.shape[0]
+    npad = (-N) % lanes
+
+    def fold(a, fill=0):
+        a = jnp.asarray(a)
+        if npad:
+            pad = [(0, npad)] + [(0, 0)] * (a.ndim - 1)
+            a = jnp.pad(a, pad, constant_values=fill)
+        return a.reshape(-1, lanes, *a.shape[1:])
+
+    def inner(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim, qws, qhs):
+        return _cleanup_impl(msw, melw, vlcw, pLSB, maxbp, ms_lim,
+                             mel_lim, qw, qh, ms_class, dims=(qws, qhs))
+
+    mu, sig, ok = jax.vmap(inner)(
+        fold(msw), fold(melw), fold(vlcw), fold(pLSB, 1), fold(maxbp, 1),
+        fold(ms_lim), fold(mel_lim), fold(qws), fold(qhs))
+    Np = N + npad
+    return (mu.reshape(Np, 2 * qh, 2 * qw)[:N],
+            sig.reshape(Np, qh, qw)[:N], ok.reshape(Np)[:N])
 
 
 # ---------------------------------------------------------------------------

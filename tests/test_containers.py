@@ -144,6 +144,22 @@ def test_cli_mj2_pipeline(tmp_path, ffmpeg):
     assert dec.read_bytes() == b"".join(i.tobytes() for i in imgs)
 
 
+def test_cli_device_resident_benchmark(tmp_path, capsys):
+    """`jxt decode --benchmark --device-resident` reports the chip-rate
+    line (bench.py headline methodology through the CLI; the analog of
+    `ffmpeg -benchmark`'s rtime with the host legs excluded)."""
+    img = RNG.integers(0, 256, (64, 96), dtype=np.uint8)
+    p = tmp_path / "in.j2c"
+    p.write_bytes(encode_frame_htj2k(img))
+    assert cli.main(["decode", str(p), "-f", "null", "--benchmark",
+                     "--device-resident"]) == 0
+    err = capsys.readouterr().err
+    assert "device-resident fps=" in err and "frames_merged=1" in err
+    # without --benchmark the flag is rejected
+    assert cli.main(["decode", str(p), "-f", "null",
+                     "--device-resident"]) == 1
+
+
 def test_cli_lowres(tmp_path):
     """resolution-progressive decode (jpeg2000dec.c lowres option)."""
     img = RNG.integers(0, 256, (64, 64), dtype=np.uint8)

@@ -195,6 +195,24 @@ def test_yuv_to_rgb_close_to_reference(ffmpeg):
     assert np.abs(a - b).max() <= 3
 
 
+def test_rgb48_to_rgb24_close_to_reference(ffmpeg):
+    """Packed rgb48 -> rgb24: libswscale has NO direct converter for
+    this pair (swscale_unscaled.c:1785-1800 lists only 48<->48/64
+    repacks), so the reference routes it through the generic scaled
+    YUV-intermediate pipeline — measured +-2 LSB vs our direct
+    MSB-truncating depth change. Pinned as an envelope (same scope cut
+    as test_yuv_to_rgb_close_to_reference); the FATE-exercised rgb48
+    pattern (identity, p0_07/p0_08) stays byte-exact above."""
+    img = RNG.integers(0, 65536, (40, 56, 3), dtype=np.uint16)
+    data = encode_frame_htj2k(img, depth=16)
+    ref = _ref_decode_pixfmt(ffmpeg, data, "rgb24")
+    ours = convert(decode_frame(data, bitexact=True), "rgb24").tobytes()
+    a = np.frombuffer(ours, np.uint8).astype(int)
+    b = np.frombuffer(ref, np.uint8).astype(int)
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() <= 2
+
+
 def test_subsampled_yuv_output_shapes():
     rgb = RNG.integers(0, 256, (30, 3 * 42), dtype=np.uint8)
     fr = DecodedFrame(fmt=_fmt("rgb24"), width=42, height=30, planes=[rgb])
