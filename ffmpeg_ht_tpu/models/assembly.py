@@ -296,6 +296,14 @@ def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
                 msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim, qws, qhs,
                 qw=qw, qh=qh, ms_class=ms_class,
                 interpret=jax.default_backend() == "cpu")
+        elif "scan2d" in _VARIANTS:
+            # lane axis folded (N/128, 128) so the scan body's registers
+            # fill all 8 VPU sublanes (ht_scan.decode_cleanup_scan_dims_2d)
+            from ffmpeg_ht_tpu.ops.ht_scan import \
+                decode_cleanup_scan_dims_2d
+            mu, _sig, ok = decode_cleanup_scan_dims_2d(
+                msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim, qws, qhs,
+                qw=qw, qh=qh, ms_class=ms_class)
         else:
             mu, _sig, ok = _cleanup_impl(
                 msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,

@@ -83,3 +83,56 @@ def test_dims_bucket_vs_oracle():
         # samples beyond the lane's block must be zero (band-assembly
         # crop relies on it)
         assert not ras[i, h:, :].any() and not ras[i, :, w:].any()
+
+
+def test_dims_bucket_2d_fold_matches_1d():
+    """decode_cleanup_scan_dims_2d (lane axis folded (N/L, L) via vmap
+    for full-sublane VPU packing) is bit-identical to the 1-D kernel on
+    a mixed-shape bucket, including inert and padded lanes. lanes=8
+    forces several fold rows plus a ragged pad."""
+    from ffmpeg_ht_tpu.ops.ht_scan import decode_cleanup_scan_dims_2d
+
+    shapes = [(32, 32), (18, 9), (32, 1), (1, 32), (7, 26), (16, 16),
+              (31, 31), (24, 10), (3, 3), (32, 20)]
+    blocks = []
+    for i, (w, h) in enumerate(shapes):
+        data, lcup = _random_block(h, w, density=RNG.random())
+        blocks.append((data, lcup, w, h))
+        if i % 4 == 2:
+            blocks.append(None)
+    n = len(blocks)
+    qw = qh = 16
+    lmax = max(max(len(b[0]) for b in blocks if b), 4)
+    cdat = np.zeros((n, lmax), np.uint8)
+    lcups = np.full(n, 2, np.int64)
+    pcups = np.zeros(n, np.int64)
+    qws = np.zeros(n, np.int32)
+    qhs = np.zeros(n, np.int32)
+    for i, b in enumerate(blocks):
+        if b is None:
+            continue
+        data, lcup, w, h = b
+        buf = bytearray(data[:lcup])
+        buf[lcup - 1] = 0xFF
+        buf[lcup - 2] |= 0x0F
+        scup = (data[lcup - 1] << 4) + (data[lcup - 2] & 0x0F)
+        cdat[i, :lcup] = np.frombuffer(bytes(buf), np.uint8)
+        lcups[i] = lcup
+        pcups[i] = lcup - scup
+        qws[i] = -(-w // 2)
+        qhs[i] = -(-h // 2)
+    msw, melw, vlcw = prepare_streams_batch(cdat, lcups, pcups)
+    ms_lim, mel_lim = stream_limits(cdat, lcups, pcups)
+    pLSB = np.full(n, 30 - ZBP, np.int32)
+    maxbp = np.full(n, ZBP + 1, np.int32)
+    args = (jnp.asarray(msw), jnp.asarray(melw), jnp.asarray(vlcw),
+            jnp.asarray(pLSB), jnp.asarray(maxbp),
+            jnp.asarray(ms_lim), jnp.asarray(mel_lim),
+            jnp.asarray(qws), jnp.asarray(qhs))
+    mu1, sig1, ok1 = decode_cleanup_scan_dims(
+        *args, qw=qw, qh=qh, ms_class=min(ZBP + 1, 25))
+    mu2, sig2, ok2 = decode_cleanup_scan_dims_2d(
+        *args, qw=qw, qh=qh, ms_class=min(ZBP + 1, 25), lanes=8)
+    assert np.array_equal(np.asarray(mu1), np.asarray(mu2))
+    assert np.array_equal(np.asarray(sig1), np.asarray(sig2))
+    assert np.array_equal(np.asarray(ok1), np.asarray(ok2))

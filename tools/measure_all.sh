@@ -1,9 +1,9 @@
 #!/bin/bash
-# Round-4 measurement playbook: run everything that needs the real TPU,
+# Round-5 measurement playbook: run everything that needs the real TPU,
 # strictly sequenced (1-core host: never two heavy jobs at once).
-# Usage: bash tools/measure_all.sh [outdir]   (default /tmp/measure_r4)
+# Usage: bash tools/measure_all.sh [outdir]   (default /tmp/measure_r5)
 set -u
-OUT=${1:-/tmp/measure_r4}
+OUT=${1:-/tmp/measure_r5}
 mkdir -p "$OUT"
 cd /root/repo
 
@@ -21,23 +21,24 @@ if ! probe; then
 fi
 echo "[$(date +%T)] tunnel UP"
 
-echo "[$(date +%T)] 1/4 headline bench (also warms the driver's cache)"
+echo "[$(date +%T)] 1/4 2-D lane-fold A/B (the round-5 lever)"
+timeout 2400 python tools/ablate_2d.py >"$OUT/ablate_2d.txt" 2>&1
+echo "rc=$?" >>"$OUT/ablate_2d.txt"
+tail -6 "$OUT/ablate_2d.txt"
+
+echo "[$(date +%T)] 2/4 headline bench, scan2d variant"
+FFMPEG_HT_TPU_KERNEL_VARIANTS=scan2d \
+  timeout 3000 python bench.py >"$OUT/bench_scan2d.json" 2>"$OUT/bench_scan2d.err"
+echo "rc=$?" >>"$OUT/bench_scan2d.err"
+tail -1 "$OUT/bench_scan2d.json"
+
+echo "[$(date +%T)] 3/4 headline bench, default kernel (comparison row)"
 timeout 3000 python bench.py >"$OUT/bench.json" 2>"$OUT/bench.err"
 echo "rc=$?" >>"$OUT/bench.err"
 tail -1 "$OUT/bench.json"
 
-echo "[$(date +%T)] 2/4 stage profile"
+echo "[$(date +%T)] 4/4 stage profile"
 timeout 1800 python tools/profile_stages.py >"$OUT/profile_stages.txt" 2>&1
 echo "rc=$?" >>"$OUT/profile_stages.txt"
-
-echo "[$(date +%T)] 3/4 entropy ablations (shipped variants)"
-timeout 2400 python tools/ablate_entropy.py >"$OUT/ablate.txt" 2>&1
-echo "rc=$?" >>"$OUT/ablate.txt"
-
-echo "[$(date +%T)] 4/4 kernel variant timings (cxt_i8, refill_gather)"
-FFMPEG_HT_TPU_KERNEL_VARIANTS=cxt_i8,refill_gather \
-  timeout 3000 python bench.py >"$OUT/bench_variants.json" 2>"$OUT/bench_variants.err"
-echo "rc=$?" >>"$OUT/bench_variants.err"
-tail -1 "$OUT/bench_variants.json"
 
 echo "[$(date +%T)] done; results in $OUT"
