@@ -280,6 +280,53 @@ def main() -> None:
             print(f"# c3 device-resident F={F}: {fpsF:.3f} fps "
                   f"({msF:.1f} ms/frame)", file=sys.stderr)
         config("c3_batched_f2", lambda: batched(2))
+
+        # 2-D lane fold (ht_scan.decode_cleanup_scan_dims_2d): measure
+        # the natural-content rate with the folded kernel; if it beats
+        # the default the headline upgrades, with both rates disclosed.
+        # Guarded: any failure leaves the default rows standing.
+        def scan2d_upgrade():
+            from ffmpeg_ht_tpu.ops.ht_scan import \
+                decode_cleanup_scan_dims_2d
+            res2 = dec.bench_resident([streams_c3["natural"]],
+                                      n_it=n_it,
+                                      kernel_variants=("scan2d",))
+            fps2, ms2 = res2["fps"], res2["ms_per_frame"]
+            row["scan2d_fps"] = round(fps2, 3)
+            row["scan2d_ms_per_frame"] = round(ms2, 2)
+            print(f"# c3 device-resident [natural, scan2d]: {fps2:.3f} "
+                  f"fps ({ms2:.1f} ms/frame)", file=sys.stderr)
+
+            @jax.jit
+            def kern2(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
+                      qws, qhs):
+                mu, _sg, ok = decode_cleanup_scan_dims_2d(
+                    msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim,
+                    qws, qhs, qw=fg.v3_plan.bw // 2,
+                    qh=fg.v3_plan.bh // 2, ms_class=msc)
+                return (jnp.sum(mu, dtype=jnp.uint32)
+                        + jnp.uint32(jnp.all(ok)))
+
+            ka = {k: args[k] for k in ("msw", "melw", "vlcw", "pLSB",
+                                       "maxbp", "ms_lim", "mel_lim",
+                                       "qws", "qhs")}
+            _s = np.asarray(kern2(**ka))
+            t0 = time.perf_counter()
+            for _ in range(n_it):
+                s = kern2(**ka)
+            _s = np.asarray(s)
+            ent2 = (time.perf_counter() - t0) / n_it
+            row["scan2d_entropy_ms"] = round(ent2 * 1e3, 2)
+            print(f"# c3 entropy stage [natural, scan2d]: "
+                  f"{ent2 * 1e3:.1f} ms/frame", file=sys.stderr)
+            if fps2 > 1.02 * row.get("fps", 0.0):
+                row["default_kernel_fps"] = row.get("fps")
+                row["fps"] = round(fps2, 3)
+                row["ms_per_frame"] = round(ms2, 2)
+                row["kernel"] = "scan2d"
+                STATE["value"] = round(fps2, 3)
+                STATE["vs_baseline"] = round(fps2 / 60.0, 4)
+        config("c3_scan2d", scan2d_upgrade)
     config("c3_device_resident", c3_resident)
 
     # ---- the rest of the BASELINE configs ----

@@ -239,7 +239,8 @@ def _compose_plane(ras, plane: PlanePlan, lane_off: int, dtype):
 def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
                     ms_class: int, n_pad: int, frames: int,
                     donate: bool = False, as_jit: bool = True,
-                    no_istep: bool = False, wire_pack: bool = False):
+                    no_istep: bool = False, wire_pack: bool = False,
+                    kernel_variants=None):
     """Build the fused jitted decode program for one geometry.
 
     Signature of the returned jit:
@@ -287,7 +288,9 @@ def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
     def program(msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim, qws, qhs,
                 magb, istep, scale97, fscale, pf_idx, pf_val):
         from ffmpeg_ht_tpu.ops.ht_scan import _VARIANTS
-        if "pallas" in _VARIANTS:
+        variants = (_VARIANTS if kernel_variants is None
+                    else frozenset(kernel_variants))
+        if "pallas" in variants:
             # VMEM-resident Mosaic formulation (same math, lane-blocked;
             # ops/ht_scan_pallas.py). Interpret off-TPU.
             from ffmpeg_ht_tpu.ops.ht_scan_pallas import \
@@ -296,7 +299,7 @@ def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
                 msw, melw, vlcw, pLSB, maxbp, ms_lim, mel_lim, qws, qhs,
                 qw=qw, qh=qh, ms_class=ms_class,
                 interpret=jax.default_backend() == "cpu")
-        elif "scan2d" in _VARIANTS:
+        elif "scan2d" in variants:
             # lane axis folded (N/128, 128) so the scan body's registers
             # fill all 8 VPU sublanes (ht_scan.decode_cleanup_scan_dims_2d)
             from ffmpeg_ht_tpu.ops.ht_scan import \

@@ -983,7 +983,7 @@ class Decoder:
     _FAST_GEOMS: Dict[Tuple, object] = {}   # bounded in _fast_geom
 
     def bench_resident(self, streams, n_it: int = 10, reps: int = 3,
-                       return_state: bool = False):
+                       return_state: bool = False, kernel_variants=None):
         """Device-resident decode rate for same-geometry streams.
 
         Stages the frames' lane arrays on device once, builds ONE fused
@@ -1033,7 +1033,8 @@ class Decoder:
         prog = ASM.make_v3_program(
             fg.v3_plan, fg.geom.key(), qw=fg.v3_plan.bw // 2,
             qh=fg.v3_plan.bh // 2, ms_class=ms_class, n_pad=fg.ncblks,
-            frames=F, donate=True, no_istep=no_istep)
+            frames=F, donate=True, no_istep=no_istep,
+            kernel_variants=kernel_variants)
         shape, dt = ASM.packed_shape(fg.geom.key(), F)
         packed = prog(jnp.zeros(shape, dt), **args)
         _sync = np.asarray(packed[-1])          # compile + warmup

@@ -60,3 +60,10 @@ def test_pallas_variant_bit_exact():
     """The Mosaic (pallas) cleanup variant through the full Decoder
     front door — interpret mode off-TPU."""
     assert _digest("pallas") == _digest("")
+
+
+def test_scan2d_variant_bit_exact():
+    """The 2-D lane-fold variant (N folded to (N/128, 128) for full
+    VPU sublane packing, ht_scan.decode_cleanup_scan_dims_2d) through
+    the full Decoder front door."""
+    assert _digest("scan2d") == _digest("")
