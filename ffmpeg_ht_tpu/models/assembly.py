@@ -290,6 +290,14 @@ def make_v3_program(plan: AssemblyPlan, geom_key: Tuple, qw: int, qh: int,
         from ffmpeg_ht_tpu.ops.ht_scan import _VARIANTS
         variants = (_VARIANTS if kernel_variants is None
                     else frozenset(kernel_variants))
+        if not variants and jax.default_backend() == "tpu":
+            # Round-5 measured default for TPU: the (N/128, 128) lane
+            # fold is the fastest proven kernel on-chip (19.78 vs
+            # 20.99 ms at the 4K bucket, tools/ablate_2d.py) and
+            # bit-identical to the rank-1 form (test_ht_scan_dims).
+            # Force the rank-1 kernel back with
+            # FFMPEG_HT_TPU_KERNEL_VARIANTS=scan1d.
+            variants = frozenset(("scan2d",))
         if "pallas" in variants:
             # VMEM-resident Mosaic formulation (same math, lane-blocked;
             # ops/ht_scan_pallas.py). Interpret off-TPU.

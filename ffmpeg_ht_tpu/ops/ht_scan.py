@@ -55,8 +55,19 @@ from ffmpeg_ht_tpu.ops import tables as tb
 # Measurable kernel variants (ARCHITECTURE.md "remaining levers"),
 # comma-separated in FFMPEG_HT_TPU_KERNEL_VARIANTS, read at import:
 #   cxt_i8        — int8 MXU matmul for the CxtVLC one-hot row pick
+#                   (measured r5: a wash, 20.7 vs 20.6 ms)
 #   refill_gather — take_along_axis gathers instead of masked sweeps
-#                   for the register-window refills
+#                   for the register-window refills (measured r5:
+#                   ~10x WORSE — XLA lowers the gather to selects)
+#   scan2d        — lane axis folded (N/128, 128) so carried registers
+#                   fill all 8 VPU sublanes; ~6% faster on-chip
+#                   (19.78 vs 20.99 ms, tools/ablate_2d.py) and the
+#                   round-5 DEFAULT on TPU (models/assembly.py)
+#   scan1d        — force the rank-1 (N,) kernel back on TPU
+#   pallas        — the Mosaic VMEM-resident formulation
+#                   (ops/ht_scan_pallas.py); compiles + bit-exact
+#                   on-chip but ~30x slower per lane (see its
+#                   docstring) — kept for future Mosaic work
 # Bit-exactness of every variant is pinned by tests/test_ht_scan_dims.py
 # (same outputs as the default formulation on the oracle corpus).
 _VARIANTS = frozenset(

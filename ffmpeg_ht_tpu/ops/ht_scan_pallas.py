@@ -56,6 +56,26 @@ structural (pinned by tests/test_ht_scan_pallas.py in interpret mode).
 
 Enabled by FFMPEG_HT_TPU_KERNEL_VARIANTS=pallas (models/assembly.py);
 interpret mode off-TPU. Reference semantics: jpeg2000htdec.c:548-1014.
+
+On-chip verdict (round 5, tools/pallas_onchip.py + pallas_bisect.py):
+compiles under Mosaic and is BIT-EXACT vs the XLA kernel on a real
+codestream, but is not competitive as formulated:
+
+  * N=128/block=128 (the largest verified compile): 15.39 ms for 128
+    lanes — ~60 µs per duo-step for ONE vreg of lanes where the XLA
+    form spends ~82 µs for fifty. The per-word 1-D scratch refs force
+    VMEM load/compute/store round-trips per op (~40x worse per issue).
+  * N>~1k, block=128: blocked by a layout verification mismatch — XLA
+    tiles 1-D s32[N] operands T(1024), Mosaic wants T(128) for a
+    (128,)-blocked ref. (Fixable by stacking the six (N,) i32 operands
+    into one (N, 8) plane so both sides use 2-D (8,128) tiling.)
+  * block=1024 (the error message's suggestion): the remote
+    tpu_compile_helper is OOM-killed compiling the 8x-wider body.
+
+Making this lever pay requires restructuring the state into
+(sublane, lane)-tiled 2-D refs so Mosaic keeps it in vector registers
+across the row loop — blocked today by the VectorLayout::join crash
+described above. Kept bit-exact-pinned for that future work.
 """
 
 from __future__ import annotations
